@@ -1,0 +1,106 @@
+"""Static-shape ray sampling: stratified coarse samples + inverse-CDF importance.
+
+TPU-native replacement for both the reference's live LiDAR sampling path
+(/root/reference/lidarnerf/nerf/renderer.py:149-231) and the dormant CUDA
+occupancy-grid marcher (raymarching.cu kernel_march_rays_train): instead of
+per-ray variable-count compacted sample lists (hostile to XLA), every ray
+carries exactly ``num_steps + upsample_steps`` samples so the whole render is
+one static-shape program. ``sample_pdf`` mirrors renderer.py:10-46 (NeRF
+inverse-CDF sampling via searchsorted).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_z_vals(key, nears, fars, num_steps: int, perturb: bool):
+    """Uniform depth samples in [near, far], optionally jittered.
+
+    Mirrors renderer.py:149-161: linspace over [0,1] scaled into [near, far],
+    then (if perturb) +/- half a bin of uniform noise, *without* clamping to
+    the interval (the reference leaves out-of-range z after perturb).
+
+    Args:
+        key: PRNG key (unused when perturb=False).
+        nears, fars: [N, 1] per-ray bounds.
+        num_steps: static sample count T.
+
+    Returns:
+        z_vals: [N, T]
+    """
+    N = nears.shape[0]
+    t = jnp.linspace(0.0, 1.0, num_steps, dtype=jnp.float32)[None, :]
+    z_vals = nears + (fars - nears) * t  # [N, T]
+    if perturb:
+        sample_dist = (fars - nears) / num_steps
+        noise = jax.random.uniform(key, (N, num_steps), dtype=jnp.float32) - 0.5
+        z_vals = z_vals + noise * sample_dist
+    return z_vals
+
+
+@partial(jax.jit, static_argnames=("n_samples", "det"))
+def sample_pdf(key, bins, weights, n_samples: int, det: bool):
+    """Inverse-CDF sampling of new depths from bin weights (renderer.py:10-46).
+
+    Args:
+        bins: [B, T] bin centers (old z_vals midpoints).
+        weights: [B, T-1] bin weights.
+        n_samples: number of new samples per ray.
+        det: deterministic (midpoint linspace) vs uniform-random u.
+
+    Returns:
+        samples: [B, n_samples]
+    """
+    B, T = bins.shape
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [B, T]
+
+    if det:
+        u = jnp.linspace(
+            0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples, dtype=jnp.float32
+        )
+        u = jnp.broadcast_to(u, (B, n_samples))
+    else:
+        u = jax.random.uniform(key, (B, n_samples), dtype=jnp.float32)
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def sort_merge_z(z_coarse, z_fine, *extras):
+    """Merge coarse+fine depth samples, sorting each ray (renderer.py:217-231).
+
+    Args:
+        z_coarse: [N, T], z_fine: [N, t].
+        extras: additional per-sample arrays [N, T, ...] / [N, t, ...] pairs
+            given as (coarse, fine) tuples to reorder alongside z.
+
+    Returns:
+        (z_sorted [N, T+t], order [N, T+t], *reordered_extras)
+    """
+    z_all = jnp.concatenate([z_coarse, z_fine], axis=1)
+    order = jnp.argsort(z_all, axis=1)
+    z_sorted = jnp.take_along_axis(z_all, order, axis=1)
+    outs = []
+    for coarse, fine in extras:
+        merged = jnp.concatenate([coarse, fine], axis=1)
+        idx = order
+        if merged.ndim == 3:
+            idx = order[..., None]
+        outs.append(jnp.take_along_axis(merged, idx, axis=1))
+    return (z_sorted, order, *outs)

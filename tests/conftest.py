@@ -1,0 +1,22 @@
+"""Test config: run all tests on a virtual 8-device CPU mesh.
+
+This is the TPU-native substitute for multi-node testing without a cluster
+(SURVEY.md §4): sharding/collective code paths compile and execute against 8
+host devices exactly as they would against 8 TPU chips.
+
+Note: the axon sitecustomize force-registers the TPU backend ahead of the
+JAX_PLATFORMS env var, so we override via jax.config *after* import (this wins
+as long as it happens before the first backend use, which conftest guarantees).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
