@@ -1,0 +1,213 @@
+"""Train-step smoke + convergence tests on a synthetic analytic scene."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidarnerf_tpu.models.network import NeRFNetwork
+from lidarnerf_tpu.models.renderer import RenderConfig, render_rays, render_rays_staged
+from lidarnerf_tpu.nerf.train_step import (
+    TrainConfig,
+    ema_update,
+    make_optimizer,
+    make_train_step,
+)
+from lidarnerf_tpu.dataset.convert import pano_dirs
+
+H, W = 16, 64
+K_LIDAR = (10.0, 30.0)
+SCALE = 0.05
+
+
+def make_sphere_scene(n_frames=4):
+    """Panos of a radius-8 sphere at the origin seen from nearby sensors."""
+    rng = np.random.RandomState(0)
+    poses, images = [], []
+    dirs = pano_dirs(H, W, K_LIDAR).reshape(-1, 3)  # sensor frame
+    for i in range(n_frames):
+        t = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1), 0.0]) * 2.0
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = t
+        # ray-sphere intersection |o + s d| = 8
+        o = np.broadcast_to(t, dirs.shape).astype(np.float64)
+        b = 2 * np.sum(o * dirs, axis=1)
+        c = np.sum(o * o, axis=1) - 64.0
+        disc = b * b - 4 * c
+        hit = disc > 0
+        s = np.where(hit, (-b + np.sqrt(np.maximum(disc, 0))) / 2, 0.0)
+        hit &= s > 0
+        depth = np.where(hit, s, 0.0)
+        p = o + s[:, None] * dirs
+        normal = p / 8.0
+        intensity = np.where(hit, 0.3 + 0.7 * np.abs(np.sum(normal * dirs, 1)), 0.0)
+        img = np.stack(
+            [hit.astype(np.float32), intensity, depth * SCALE], axis=-1
+        ).reshape(H, W, 3)
+        pose[:3, 3] = t * SCALE  # recentred/scaled pose, offset=0
+        poses.append(pose)
+        images.append(img.astype(np.float32))
+    return np.stack(poses), np.stack(images)
+
+
+def small_model():
+    return NeRFNetwork(
+        desired_resolution=128,
+        log2_hashmap_size=12,
+        num_levels=8,
+        bound=1.0,
+    )
+
+
+def small_cfgs(num_rays=512, iters=400, lr=5e-3, **kw):
+    tcfg = TrainConfig(
+        scale=SCALE,
+        num_rays_lidar=num_rays,
+        H_lidar=H,
+        W_lidar=W,
+        intrinsics_lidar=K_LIDAR,
+        lr=lr,
+        iters=iters,
+        **kw,
+    )
+    rcfg = RenderConfig(
+        num_steps=64,
+        upsample_steps=16,
+        min_near_lidar=SCALE,
+        bound=1.0,
+    )
+    return tcfg, rcfg
+
+
+def init_state(module, tcfg):
+    params = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.zeros((4, 3))
+    )
+    opt_state = make_optimizer(tcfg).init(params)
+    return params, opt_state
+
+
+class TestTrainStep:
+    def test_smoke_and_params_change(self):
+        poses, images = make_sphere_scene(2)
+        module = small_model()
+        tcfg, rcfg = small_cfgs()
+        params, opt_state = init_state(module, tcfg)
+        step = make_train_step(module, tcfg, rcfg)
+        vi = jnp.zeros((2, 1), jnp.int32)
+        vc = jnp.full((2,), H * W, jnp.int32)
+        p0 = jax.tree.map(lambda x: x.copy(), params)
+        params, opt_state, m = step(
+            params, opt_state, jnp.array(poses), jnp.array(images), vi, vc, 0,
+            jax.random.PRNGKey(1), 0,
+        )
+        assert np.isfinite(float(m["loss"]))
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, params)
+        assert max(jax.tree.leaves(diffs)) > 0
+
+    def test_patch_mode_with_grad_loss(self):
+        poses, images = make_sphere_scene(2)
+        module = small_model()
+        tcfg, rcfg = small_cfgs(grad_loss=True)
+        params, opt_state = init_state(module, tcfg)
+        step = make_train_step(module, tcfg, rcfg, patch_size=[2, 8])
+        vi = jnp.zeros((2, 1), jnp.int32)
+        vc = jnp.full((2,), H * W, jnp.int32)
+        params, opt_state, m = step(
+            params, opt_state, jnp.array(poses), jnp.array(images), vi, vc, 1,
+            jax.random.PRNGKey(2), 0,
+        )
+        assert np.isfinite(float(m["loss"]))
+
+    def test_sobel_and_smoothers(self):
+        poses, images = make_sphere_scene(1)
+        module = small_model()
+        tcfg, rcfg = small_cfgs(
+            grad_loss=True, sobel_grad=True, spatial_smooth=True,
+            grad_norm_smooth=True, tv_loss=True,
+        )
+        params, opt_state = init_state(module, tcfg)
+        step = make_train_step(module, tcfg, rcfg, patch_size=4)
+        vi = jnp.zeros((1, 1), jnp.int32)
+        vc = jnp.full((1,), H * W, jnp.int32)
+        params, _, m = step(
+            params, opt_state, jnp.array(poses), jnp.array(images), vi, vc, 0,
+            jax.random.PRNGKey(3), 0,
+        )
+        assert np.isfinite(float(m["loss"]))
+
+    def test_masked_sampling(self):
+        poses, images = make_sphere_scene(2)
+        module = small_model()
+        tcfg, rcfg = small_cfgs()
+        params, opt_state = init_state(module, tcfg)
+        step = make_train_step(module, tcfg, rcfg, masked_sampling=True)
+        # valid indices: only the left half of the pano
+        half = (H * W) // 2
+        vi = jnp.broadcast_to(jnp.arange(half, dtype=jnp.int32), (2, half))
+        vc = jnp.full((2,), half, jnp.int32)
+        params, _, m = step(
+            params, opt_state, jnp.array(poses), jnp.array(images), vi, vc, 0,
+            jax.random.PRNGKey(4), 0,
+        )
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestConvergence:
+    @pytest.mark.slow
+    def test_sphere_depth_converges(self):
+        poses, images = make_sphere_scene(4)
+        module = small_model()
+        tcfg, rcfg = small_cfgs(num_rays=1024, iters=300)
+        params, opt_state = init_state(module, tcfg)
+        step = make_train_step(module, tcfg, rcfg)
+        vi = jnp.zeros((4, 1), jnp.int32)
+        vc = jnp.full((4,), H * W, jnp.int32)
+        posesj, imagesj = jnp.array(poses), jnp.array(images)
+        key = jax.random.PRNGKey(0)
+        first_mae = None
+        for it in range(300):
+            key, sub = jax.random.split(key)
+            params, opt_state, m = step(
+                params, opt_state, posesj, imagesj, vi, vc, it % 4, sub, it
+            )
+            if it == 0:
+                first_mae = float(m["depth_mae"])
+        last_mae = float(m["depth_mae"])
+        assert np.isfinite(last_mae)
+        assert last_mae < first_mae * 0.2, (first_mae, last_mae)
+
+        # full-frame eval: depth error in world units
+        out = render_rays_staged(
+            module, params,
+            *(lambda r: (r["rays_o"][0], r["rays_d"][0]))(
+                __import__("lidarnerf_tpu.dataset.base", fromlist=["get_lidar_rays"]).get_lidar_rays(
+                    posesj[:1], K_LIDAR, H, W, N=-1
+                )
+            ),
+            rcfg, chunk=256,
+        )
+        gt = images[0].reshape(-1, 3)
+        mask = gt[:, 0] > 0.5
+        depth_err = np.abs(np.asarray(out["depth"])[mask] - gt[mask, 2]) / SCALE
+        assert np.median(depth_err) < 1.0, np.median(depth_err)  # < 1 world unit
+
+
+class TestEMA:
+    def test_torch_ema_semantics(self):
+        p = {"w": jnp.ones(3)}
+        e = {"w": jnp.zeros(3)}
+        e1 = ema_update(e, p, 0.95, num_updates=0)
+        # effective decay = min(0.95, 1/10) = 0.1
+        np.testing.assert_allclose(np.asarray(e1["w"]), 0.9, rtol=1e-6)
+        e2 = ema_update(e, p, 0.95, num_updates=1000)
+        np.testing.assert_allclose(np.asarray(e2["w"]), 0.05, rtol=1e-5)
+
+
+class TestOptimizer:
+    def test_lr_schedule_decay(self):
+        tcfg, _ = small_cfgs(iters=100, lr=1e-2)
+        sched = lambda s: tcfg.lr * 0.1 ** min(s / tcfg.iters, 1.0)
+        assert abs(sched(0) - 1e-2) < 1e-12
+        assert abs(sched(100) - 1e-3) < 1e-12
+        assert abs(sched(1000) - 1e-3) < 1e-12
