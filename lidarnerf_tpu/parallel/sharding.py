@@ -1,0 +1,129 @@
+"""Data-parallel scaling over the ray batch via jax.sharding + jit.
+
+The reference's scaffolded (and bitrotted) DDP path
+(/root/reference/lidarnerf/nerf/utils.py:589-593, 1326-1350) is replaced by the
+TPU-native recipe: build a `Mesh` over the chips, keep model/optimizer state
+replicated, shard the per-step ray batch along the mesh's `data` axis, and let
+XLA insert the gradient `psum` over ICI. There is no communication code to
+maintain — the collective falls out of the sharding annotations.
+
+The ray axis is this workload's long sequence axis (SURVEY.md §5): sharding it
+across devices is the analogue of sequence parallelism for attention models.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lidarnerf_tpu.dataset.base import rays_from_indices, sample_ray_indices
+from lidarnerf_tpu.models.renderer import RenderConfig, render_rays
+from lidarnerf_tpu.nerf.train_step import (
+    TrainConfig,
+    lidar_losses,
+    make_optimizer,
+    patch_regularizers,
+)
+
+
+def make_mesh(n_devices=None, devices=None):
+    """1-D `data` mesh over the available chips."""
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.array(devices), ("data",))
+
+
+def replicate(tree, mesh):
+    """Place a pytree fully replicated on every device of the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_rays(array, mesh):
+    """Shard the leading (ray) axis of an array across the data axis."""
+    spec = P("data", *([None] * (array.ndim - 1)))
+    return jax.device_put(array, NamedSharding(mesh, spec))
+
+
+def make_sharded_train_step(
+    module,
+    cfg: TrainConfig,
+    render_cfg: RenderConfig,
+    mesh: Mesh,
+    patch_size=1,
+    masked_sampling: bool = False,
+):
+    """Data-parallel variant of nerf.train_step.make_train_step.
+
+    Parameters/optimizer state are replicated; the sampled ray batch is
+    annotated with a `data`-axis sharding constraint, so the two density
+    passes, the color pass and the compositing partition across chips, and the
+    parameter gradients are all-reduced by XLA (psum over ICI). Patch
+    regularizers operate on the patch axis which subdivides the ray axis, so
+    they shard the same way.
+    """
+    H, W = cfg.H_lidar, cfg.W_lidar
+    N = cfg.num_rays_lidar
+    if N % mesh.devices.size != 0:
+        raise ValueError(
+            f"num_rays_lidar={N} must divide evenly over {mesh.devices.size} devices"
+        )
+    optimizer = make_optimizer(cfg)
+    patch_tuple = tuple(patch_size) if not isinstance(patch_size, int) else patch_size
+    ray_sharding = NamedSharding(mesh, P("data"))
+
+    def constrain(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    def loss_fn(params, pose, image_flat, valid_idx_f, valid_count_f, key):
+        k_pix, k_render = jax.random.split(key)
+        if masked_sampling:
+            draws = jax.random.randint(k_pix, (N,), 0, valid_count_f)
+            inds = jnp.take(valid_idx_f, draws)
+        else:
+            inds = sample_ray_indices(k_pix, H, W, N, patch_tuple)
+        inds = jax.lax.with_sharding_constraint(inds, ray_sharding)
+        gt = constrain(jnp.take(image_flat, inds, axis=0))
+        rays_o, rays_d = rays_from_indices(pose, inds, H, W, cfg.intrinsics_lidar)
+        rays_o, rays_d = constrain(rays_o), constrain(rays_d)
+
+        out = render_rays(module, params, rays_o, rays_d, k_render, render_cfg, True)
+        lidar_loss, pred_depth_m, gt_depth, gt_raydrop = lidar_losses(
+            cfg, out["depth"], out["image"], gt
+        )
+        loss = jnp.mean(lidar_loss)
+        loss += patch_regularizers(cfg, patch_tuple, pred_depth_m, gt_depth, gt_raydrop)
+        return loss, {"depth_mae": jnp.mean(jnp.abs(pred_depth_m - gt_depth))}
+
+    repl = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        donate_argnums=(0, 1),
+        out_shardings=((repl, repl), repl),
+    )
+    def step_fn(
+        params, opt_state, poses, images, valid_idx, valid_counts, frame_idx, key, step
+    ):
+        pose = jnp.take(poses, frame_idx, axis=0)
+        image_flat = jnp.take(images, frame_idx, axis=0).reshape(-1, images.shape[-1])
+        vi = jnp.take(valid_idx, frame_idx, axis=0)
+        vc = jnp.take(valid_counts, frame_idx, axis=0)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, pose, image_flat, vi, vc, key
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), {"loss": loss, **aux}
+
+    def wrapped(params, opt_state, poses, images, vi, vc, frame_idx, key, step):
+        (params, opt_state), metrics = step_fn(
+            params, opt_state, poses, images, vi, vc, frame_idx, key, step
+        )
+        return params, opt_state, metrics
+
+    return wrapped
