@@ -66,11 +66,13 @@ class TrainConfig:
     ema_decay: float = 0.95
 
 
-_SOBEL_X = jnp.array(
-    [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], jnp.float32
+import numpy as _np
+
+_SOBEL_X = _np.array(
+    [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], _np.float32
 )
-_SOBEL_Y = jnp.array(
-    [[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]], jnp.float32
+_SOBEL_Y = _np.array(
+    [[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]], _np.float32
 )
 
 
