@@ -1,0 +1,186 @@
+"""Tests for the classical NVS baselines (PCGen, ray-drop nets, eval)."""
+
+import numpy as np
+import pytest
+
+from lidarnerf_tpu.lidarnvs.pcgen import LidarNVSPCGen, generate_raydrop_data_pcgen, get_direction
+from lidarnerf_tpu.lidarnvs.raydrop_pcgen import RayDropTrainer, get_embedder, pack_rays
+from lidarnerf_tpu.lidarnvs.eval import eval_points_and_pano
+from lidarnerf_tpu.dataset.convert import pano_dirs
+
+
+class FakeDataset:
+    """Minimal dataset: sensor at origin + sensor at (1,0,0), sphere world."""
+
+    def __init__(self, n_frames=2, H=24, W=96):
+        self.H_lidar = H
+        self.W_lidar = W
+        self.intrinsics_lidar = (10.0, 30.0)
+        rng = np.random.RandomState(0)
+        self.poses_lidar = []
+        self.images_lidar = []
+        dirs = pano_dirs(H, W, self.intrinsics_lidar).reshape(-1, 3)
+        for i in range(n_frames):
+            t = np.array([i * 0.5, 0.0, 0.0])
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, 3] = t
+            o = np.broadcast_to(t, dirs.shape)
+            b = 2 * np.sum(o * dirs, 1)
+            c = np.sum(o * o, 1) - 64.0
+            disc = b * b - 4 * c
+            s = np.where(disc > 0, (-b + np.sqrt(np.maximum(disc, 0))) / 2, 0.0)
+            depth = np.where(s > 0, s, 0.0).reshape(H, W)
+            inten = np.where(depth > 0, 0.5, 0.0)
+            self.poses_lidar.append(pose)
+            self.images_lidar.append(
+                np.stack([np.zeros_like(depth), inten, depth], -1).astype(np.float32)
+            )
+
+    def __len__(self):
+        return len(self.poses_lidar)
+
+
+class TestPCGen:
+    def test_fit_and_predict_roundtrip(self):
+        ds = FakeDataset()
+        nvs = LidarNVSPCGen(raycasting="cp")
+        nvs.fit(ds)
+        assert len(nvs.points) > 1000
+        pred = nvs.predict_frame(
+            ds.intrinsics_lidar, ds.poses_lidar[0], ds.H_lidar, ds.W_lidar
+        )
+        gt_pano = ds.images_lidar[0][:, :, 2]
+        # predicting the train view itself: depths should broadly agree
+        both = (pred["pano"] > 0) & (gt_pano > 0)
+        assert both.mean() > 0.5
+        err = np.abs(pred["pano"][both] - gt_pano[both])
+        assert np.median(err) < 0.5
+
+    def test_fpa_raycasting(self):
+        ds = FakeDataset()
+        nvs = LidarNVSPCGen(raycasting="fpa")
+        nvs.fit(ds)
+        pred = nvs.predict_frame(
+            ds.intrinsics_lidar, ds.poses_lidar[0], ds.H_lidar, ds.W_lidar
+        )
+        assert (pred["pano"] > 0).sum() > 100
+
+    def test_generate_raydrop_data(self):
+        ds = FakeDataset()
+        nvs = LidarNVSPCGen(raycasting="cp")
+        nvs.fit(ds)
+        dirs, panos, intens, masks = generate_raydrop_data_pcgen(ds, nvs)
+        assert len(dirs) == len(ds)
+        rays = pack_rays(dirs, panos, intens, masks)
+        assert rays.shape[1] == 6
+        assert set(np.unique(rays[:, 5])) <= {0.0, 1.0}
+
+
+class TestRayDropMLP:
+    def test_embedder_dims(self):
+        fn, dim = get_embedder(4, input_dims=1, i=0)
+        assert dim == 1 + 2 * 4
+        fn_id, dim_id = get_embedder(4, input_dims=3, i=-1)
+        assert dim_id == 3
+        import jax.numpy as jnp
+
+        x = jnp.ones((5, 1))
+        assert fn(x).shape == (5, 9)
+        assert fn_id(jnp.ones((5, 3))).shape == (5, 3)
+
+    def test_learns_separable_raydrop(self):
+        """Rays pointing up are dropped; the MLP should learn that."""
+        rng = np.random.RandomState(0)
+        n = 4096
+        dirs = rng.randn(n, 3)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        depth = rng.rand(n, 1) * 50
+        inten = rng.rand(n, 1)
+        target = (dirs[:, 2] < 0).astype(np.float32)
+        rays = np.concatenate([dirs, depth, inten, target[:, None]], 1).astype(
+            np.float32
+        )
+        tr = RayDropTrainer(netdepth=2, netwidth=32, i_embed=-1, lrate=5e-3, n_iters=300)
+        tr.train(rays, N_rand=512, n_iters=300, verbose=False)
+        probs = tr.predict(rays[:, :5])
+        acc = ((probs > 0.5) == (target > 0.5)).mean()
+        assert acc > 0.9, acc
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        tr = RayDropTrainer(netdepth=2, netwidth=16, basedir=str(tmp_path))
+        path = tr.save_checkpoint(42)
+        tr2 = RayDropTrainer(netdepth=2, netwidth=16, basedir=str(tmp_path))
+        step = tr2.load_checkpoint(path)
+        assert step == 42
+        import jax
+
+        for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEval:
+    def test_identical_prediction_is_perfect(self):
+        rng = np.random.RandomState(0)
+        H, W = 16, 32
+        pano = rng.uniform(1, 40, (H, W))
+        inten = rng.rand(H, W)
+        pts = rng.rand(500, 3).astype(np.float32) * 10
+        m = eval_points_and_pano(pts, pts.copy(), inten, inten.copy(), pano, pano.copy())
+        assert m["chamfer"] < 1e-9
+        assert m["f_score"] == 1.0
+        assert m["depth_rmse"] < 1e-9
+        assert m["intensity_mae"] < 1e-12
+        assert abs(m["depth_ssim"] - 1.0) < 1e-9
+        assert m["depth_a1"] == 1.0
+
+    def test_shape_validation(self):
+        with pytest.raises(ValueError):
+            eval_points_and_pano(
+                np.zeros((5, 2)), np.zeros((5, 3)),
+                np.zeros((4, 4)), np.zeros((4, 4)),
+                np.zeros((4, 4)), np.zeros((4, 4)),
+            )
+
+
+class TestUNetRaydrop:
+    def test_unet_shapes_and_dice(self):
+        import jax
+        import jax.numpy as jnp
+        from lidarnerf_tpu.lidarnvs.unet import UNet, dice_coeff
+
+        net = UNet(n_channels=10, n_classes=1)
+        x = jnp.zeros((1, 32, 64, 10))
+        variables = net.init(jax.random.PRNGKey(0), x, train=False)
+        y = net.apply(variables, x, train=False)
+        assert y.shape == (1, 32, 64, 1)
+        d = dice_coeff(jnp.ones((2, 8, 8)), jnp.ones((2, 8, 8)))
+        np.testing.assert_allclose(float(d), 1.0, rtol=1e-5)
+
+    def test_trainer_one_epoch(self, tmp_path):
+        import pickle
+
+        rng = np.random.RandomState(0)
+        H, W = 16, 32
+
+        def frame():
+            return {
+                "hit_masks": rng.rand(H, W),
+                "hit_depths": rng.rand(H, W),
+                "hit_normals": rng.rand(H, W, 3),
+                "hit_incidences": rng.rand(H, W),
+                "intensities": rng.rand(H, W),
+                "rays_d": rng.rand(H, W, 3),
+                "raydrop_masks": (rng.rand(H, W) > 0.5).astype(np.float32),
+            }
+
+        for split, n in [("train", 2), ("test", 1)]:
+            with open(tmp_path / f"{split}_data.pkl", "wb") as f:
+                pickle.dump([frame() for _ in range(n)], f)
+
+        from lidarnerf_tpu.lidarnvs.raydrop_unet import UNetRaydropTrainer
+
+        tr = UNetRaydropTrainer(learning_rate=1e-4)
+        hist = tr.train(tmp_path, tmp_path / "ckpt", epochs=1, verbose=False)
+        assert len(hist) == 1
+        assert np.isfinite(hist[0]["loss"])
+        assert (tmp_path / "ckpt" / "checkpoint_epoch1.ckpt").exists()
