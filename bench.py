@@ -27,6 +27,7 @@ def main():
     NUM_STEPS, UPSAMPLE = 768, 64
 
     module = NeRFNetwork(
+        encoding="blockhash",  # TPU-native block-hash grid (Pallas kernels)
         desired_resolution=32768,
         log2_hashmap_size=19,
         bound=1.0,

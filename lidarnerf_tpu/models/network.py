@@ -94,7 +94,23 @@ class NeRFNetwork(nn.Module):
     compute_dtype: Any = jnp.float32
 
     def setup(self):
-        if self.encoding in ("hashgrid", "tiledgrid"):
+        if self.encoding == "blockhash":
+            # TPU-native block-hash grid (ops/block_hash.py) — the fast path
+            # covering the tcnn-HashGrid capability with tile-shaped lookups
+            from lidarnerf_tpu.ops import block_hash as bhash
+
+            self.block_spec = bhash.make_block_hash_spec(
+                num_levels=self.num_levels,
+                base_resolution=self.base_resolution,
+                log2_hashmap_size=self.log2_hashmap_size,
+                desired_resolution=self.desired_resolution,
+            )
+            self.grid_spec = None
+            self.hash_table = self.param(
+                "hash_table", lambda k: bhash.block_hash_init(k, self.block_spec)
+            )
+            in_dim = self.block_spec.output_dim
+        elif self.encoding in ("hashgrid", "tiledgrid"):
             self.grid_spec = hg.make_hash_grid_spec(
                 input_dim=3,
                 num_levels=self.num_levels,
@@ -142,6 +158,11 @@ class NeRFNetwork(nn.Module):
 
     def encode_pos(self, x):
         """x in [-bound, bound]^3 -> feature vector."""
+        if self.encoding == "blockhash":
+            from lidarnerf_tpu.ops import block_hash as bhash
+
+            x01 = (x + self.bound) / (2.0 * self.bound)
+            return bhash.block_hash_encode(x01, self.hash_table, self.block_spec)
         if self.grid_spec is not None:
             x01 = (x + self.bound) / (2.0 * self.bound)  # grid.py:213
             return hg.hash_grid_encode(x01, self.hash_table, self.grid_spec)

@@ -1,0 +1,208 @@
+"""Pallas TPU kernels for the block-hash grid encoder.
+
+Two kernels, both iterating a (level, query-chunk) grid with the current
+level's 4MB table block resident in VMEM:
+
+- forward: phase 1 is a manually-unrolled scalar loop fetching each query's
+  128-float block row from VMEM (~144M rows/s — ~100x XLA's gather on this
+  layout); phase 2 contracts the fetched rows with the trilinear lane-weight
+  rows fully vectorised on the VPU and writes only 2 features per query.
+- backward: builds the [CHUNK, 128] gradient rows in-register from the
+  upstream feature grads, then accumulates them into SHARDS=8 interleaved
+  VMEM copies of the level's gradient table (the sharding breaks the
+  store-to-load RMW hazard chain that otherwise serialises the loop:
+  20 -> 133M rows/s measured); the shards are summed by XLA afterwards.
+
+Layout notes (learned the hard way): HBM-visible operands keep the QUERY axis
+minor — f32[L, Qp, 8]-style arrays are tile-padded T(8,128) by XLA (16-64x
+memory blowup), so per-query scalars travel as [L, k, Qp] and are transposed
+to query-on-sublanes inside the kernel (Mosaic lowers these transposes
+natively). Trilinear lane weights are built by comparing each lane's static
+corner coordinate (sx = j>>5, sy = (j>>3)&3, sz = (j>>1)&3 for lane j)
+against the query's local cell position — elementwise VPU work, no gather.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lidarnerf_tpu.ops import block_hash as bh
+
+CHUNK = 4096
+UNROLL = 8
+SHARDS = 8
+
+
+def _prep_inputs(x, spec):
+    """XLA-side per-level prep.
+
+    Returns:
+        rows: [L * Q] int32 within-level block row ids (flat, chunk-indexed).
+        locfrac: [L, 8, Q] float32 = (lx, ly, lz, fx, fy, fz, 0, 0) per query.
+    """
+    rows, lf = [], []
+    for level in spec.levels:
+        pos = x.astype(jnp.float32) * level.scale + 0.5
+        cell = jnp.floor(pos)
+        frac = pos - cell
+        cell = jnp.clip(cell.astype(jnp.int32), 0, level.max_cell)
+        block = cell // bh.CELLS_PER_BLOCK
+        local = cell - block * bh.CELLS_PER_BLOCK
+        if level.dense:
+            nb = level.blocks_axis
+            idx = ((block[:, 0] * nb + block[:, 1]) * nb + block[:, 2]).astype(
+                jnp.uint32
+            )
+        else:
+            b = block.astype(jnp.uint32)
+            idx = (
+                b[:, 0] * np.uint32(bh._HASH_PRIMES[0])
+                ^ b[:, 1] * np.uint32(bh._HASH_PRIMES[1])
+                ^ b[:, 2] * np.uint32(bh._HASH_PRIMES[2])
+            )
+        rows.append((idx % np.uint32(spec.blocks_per_level)).astype(jnp.int32))
+        lf.append(
+            jnp.concatenate(
+                [
+                    local.astype(jnp.float32).T,
+                    frac.T,
+                    jnp.zeros((2, x.shape[0]), jnp.float32),
+                ],
+                axis=0,
+            )
+        )  # [8, Q]
+    return jnp.concatenate(rows), jnp.stack(lf)
+
+
+def _lane_weights(locfrac):
+    """[CHUNK, 8] (lx,ly,lz,fx,fy,fz,..) -> [CHUNK, 128] trilinear lane row."""
+    n = locfrac.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+    sx = lane >> 5
+    sy = (lane >> 3) & 3
+    sz = (lane >> 1) & 3
+    w = jnp.ones((n, 128), jnp.float32)
+    for a, s in ((0, sx), (1, sy), (2, sz)):
+        lo = locfrac[:, a : a + 1].astype(jnp.int32)
+        f = locfrac[:, a + 3 : a + 4]
+        wa = jnp.where(s == lo, 1.0 - f, 0.0) + jnp.where(s == lo + 1, f, 0.0)
+        w = w * wa
+    return w
+
+
+# ------------------------------------------------------------------ forward
+
+
+def _fwd_kernel(idx_ref, lf_ref, table_ref, out_ref, rows_scratch):
+    def body(b, _):
+        q0 = b * UNROLL
+        for u in range(UNROLL):
+            rows_scratch[q0 + u, :] = table_ref[idx_ref[q0 + u], :]
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK // UNROLL, body, 0)
+
+    lf = jnp.transpose(lf_ref[0], (1, 0))  # [CHUNK, 8]
+    W = _lane_weights(lf)  # [CHUNK, 128]
+    prod = rows_scratch[:] * W
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+    even = jnp.where(lane & 1 == 0, prod, 0.0).sum(axis=1)
+    odd = jnp.where(lane & 1 == 1, prod, 0.0).sum(axis=1)
+    feats = jnp.stack([even, odd], axis=-1)  # [CHUNK, 2]
+    out_ref[0, :, :] = jnp.transpose(feats, (1, 0))  # [2, CHUNK]
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def encode_fwd_pallas(x, table, spec):
+    """x: [Q, 3] in [0,1]; table: [L*B, 128] -> [Q, L*2] features."""
+    Q = x.shape[0]
+    pad = (-Q) % CHUNK
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    rows, lf = _prep_inputs(xp, spec)  # [L*Qp], [L, 8, Qp]
+    Qp = Q + pad
+    L = spec.num_levels
+    B = spec.blocks_per_level
+
+    nchunks = Qp // CHUNK
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=(L, nchunks),
+        in_specs=[
+            pl.BlockSpec(
+                (CHUNK,), lambda l, i: (l * nchunks + i,), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((1, 8, CHUNK), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 128), lambda l, i: (l, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, CHUNK), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, 2, Qp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((CHUNK, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(rows, lf, table)
+    # [L, 2, Qp] -> [Qp, L*2]
+    return jnp.transpose(out, (2, 0, 1)).reshape(Qp, L * 2)[:Q]
+
+
+# ----------------------------------------------------------------- backward
+
+
+def _bwd_kernel(idx_ref, lf_ref, g_ref, grad_ref, rows_scratch):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        grad_ref[:] = jnp.zeros_like(grad_ref)
+
+    lf = jnp.transpose(lf_ref[0], (1, 0))  # [CHUNK, 8]
+    W = _lane_weights(lf)  # [CHUNK, 128]
+    g = jnp.transpose(g_ref[0], (1, 0))  # [CHUNK, 2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+    g_lane = jnp.where(lane & 1 == 0, g[:, 0:1], g[:, 1:2])
+    rows_scratch[:] = W * g_lane
+
+    def body(b, _):
+        q0 = b * SHARDS
+        for u in range(SHARDS):
+            i = idx_ref[q0 + u]
+            grad_ref[u, i, :] = grad_ref[u, i, :] + rows_scratch[q0 + u, :]
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK // SHARDS, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def encode_bwd_pallas(x, g, spec):
+    """x: [Q, 3]; g: [Q, L*2] feature grads -> grad table [L*B, 128]."""
+    Q = x.shape[0]
+    pad = (-Q) % CHUNK
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    gp = jnp.pad(g.astype(jnp.float32), ((0, pad), (0, 0)))
+    rows, lf = _prep_inputs(xp, spec)
+    Qp = Q + pad
+    L = spec.num_levels
+    B = spec.blocks_per_level
+    g_levels = gp.reshape(Qp, L, 2).transpose(1, 2, 0)  # [L, 2, Qp]
+
+    nchunks = Qp // CHUNK
+    shards = pl.pallas_call(
+        _bwd_kernel,
+        grid=(L, nchunks),
+        in_specs=[
+            pl.BlockSpec(
+                (CHUNK,), lambda l, i: (l * nchunks + i,), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((1, 8, CHUNK), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, CHUNK), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (SHARDS, B, 128), lambda l, i: (0, l, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((SHARDS, L * B, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((CHUNK, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(rows, lf, g_levels)
+    return shards.sum(axis=0)
