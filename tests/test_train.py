@@ -50,8 +50,9 @@ def make_sphere_scene(n_frames=4):
     return np.stack(poses), np.stack(images)
 
 
-def small_model():
+def small_model(encoding="hashgrid"):
     return NeRFNetwork(
+        encoding=encoding,
         desired_resolution=128,
         log2_hashmap_size=12,
         num_levels=8,
@@ -155,9 +156,10 @@ class TestTrainStep:
 
 class TestConvergence:
     @pytest.mark.slow
-    def test_sphere_depth_converges(self):
+    @pytest.mark.parametrize("encoding", ["hashgrid", "blockhash"])
+    def test_sphere_depth_converges(self, encoding):
         poses, images = make_sphere_scene(4)
-        module = small_model()
+        module = small_model(encoding)
         tcfg, rcfg = small_cfgs(num_rays=1024, iters=300)
         params, opt_state = init_state(module, tcfg)
         step = make_train_step(module, tcfg, rcfg)
