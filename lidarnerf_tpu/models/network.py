@@ -90,6 +90,9 @@ class NeRFNetwork(nn.Module):
     hidden_dim_color: int = 64
     out_color_dim: int = 3
     out_lidar_color_dim: int = 2
+    num_layers_bg: int = 2
+    hidden_dim_bg: int = 64
+    bg_radius: float = -1.0
     bound: float = 1.0
     compute_dtype: Any = jnp.float32
 
@@ -156,6 +159,28 @@ class NeRFNetwork(nn.Module):
             name="lidar_color_net",
         )
 
+        # optional background model (network.py:102-129): a much smaller
+        # 2-D hash grid over sphere coords + an MLP conditioned on SH dirs
+        if self.bg_radius > 0:
+            self.bg_grid_spec = hg.make_hash_grid_spec(
+                input_dim=2,
+                num_levels=4,
+                level_dim=self.n_features_per_level,
+                base_resolution=self.base_resolution,
+                log2_hashmap_size=19,
+                desired_resolution=2048,
+            )
+            self.bg_table = self.param(
+                "bg_table", lambda k: hg.hash_grid_init(k, self.bg_grid_spec)
+            )
+            self.bg_net = MLP(
+                num_layers=self.num_layers_bg,
+                hidden_dim=self.hidden_dim_bg,
+                out_dim=3,
+                compute_dtype=self.compute_dtype,
+                name="bg_net",
+            )
+
     def encode_pos(self, x):
         """x in [-bound, bound]^3 -> feature vector."""
         if self.encoding == "blockhash":
@@ -194,8 +219,25 @@ class NeRFNetwork(nn.Module):
             return self.lidar_color(d, geo_feat)
         return self.rgb_color(d, geo_feat)
 
+    def background(self, x_sph, d):
+        """Background RGB from sphere coords (network.py:181-196).
+
+        x_sph: [..., 2] in [-1, 1] (theta/phi of the bg-sphere hit point).
+        """
+        x01 = (x_sph + 1.0) / 2.0
+        h = hg.hash_grid_encode(x01, self.bg_table, self.bg_grid_spec)
+        d_enc = sh_encode(d, 4)
+        h = self.bg_net(jnp.concatenate([d_enc, h], axis=-1))
+        return jax.nn.sigmoid(h.astype(jnp.float32))
+
     def __call__(self, x, d):
-        """Joint forward like network.py:131-160 (used for init/shape-check)."""
+        """Joint forward like network.py:131-160 (used for init/shape-check).
+
+        Touches every head so flax materialises all parameters at init.
+        """
         sigma, geo_feat = self.density(x)
         color = self.lidar_color(d, geo_feat)
+        _ = self.rgb_color(d, geo_feat)
+        if self.bg_radius > 0:
+            _ = self.background(jnp.zeros(x.shape[:-1] + (2,)), d)
         return sigma, color

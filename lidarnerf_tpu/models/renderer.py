@@ -41,6 +41,24 @@ class RenderConfig:
     cal_lidar_color: bool = True
     weight_mask_thresh: float = 1e-4
     far_mult: float = 81.0  # renderer.py:137 hard-coded far = 81 * min_near_lidar
+    bg_radius: float = -1.0  # >0 enables the background sphere model (RGB mode)
+
+
+def sph_from_ray(rays_o, rays_d, radius):
+    """Ray/background-sphere hit point as (theta, phi) in [-1, 1].
+
+    Equivalent of raymarching.cu kernel_sph_from_ray:183-217 (y-up convention,
+    larger quadratic root).
+    """
+    A = jnp.sum(rays_d * rays_d, axis=-1)
+    B = jnp.sum(rays_o * rays_d, axis=-1)
+    C = jnp.sum(rays_o * rays_o, axis=-1) - radius * radius
+    t = (-B + jnp.sqrt(jnp.maximum(B * B - A * C, 0.0))) / jnp.maximum(A, 1e-12)
+    p = rays_o + t[..., None] * rays_d
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    theta = jnp.arctan2(jnp.sqrt(x * x + z * z), y)  # [0, pi)
+    phi = jnp.arctan2(z, x)  # [-pi, pi)
+    return jnp.stack([2 * theta / jnp.pi - 1.0, phi / jnp.pi], axis=-1)
 
 
 def near_far_from_aabb(rays_o, rays_d, aabb_min, aabb_max, min_near):
@@ -128,7 +146,13 @@ def render_rays(module, params, rays_o, rays_d, key, cfg: RenderConfig, train: b
     image = jnp.sum(weights[..., None] * rgbs, axis=-2)
 
     if not cfg.cal_lidar_color:
-        image = image + (1.0 - weights_sum)[..., None] * 1.0  # white bg (renderer.py:280-284)
+        if cfg.bg_radius > 0:
+            # background model on the bg sphere (renderer.py:274-279)
+            sph = sph_from_ray(rays_o, rays_d, cfg.bg_radius)
+            bg_color = module.apply(params, sph, rays_d, method=module.background)
+        else:
+            bg_color = 1.0  # white bg (renderer.py:280-284)
+        image = image + (1.0 - weights_sum)[..., None] * bg_color
 
     return {"depth": depth, "image": image, "weights_sum": weights_sum}
 
