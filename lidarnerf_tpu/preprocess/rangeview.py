@@ -80,8 +80,21 @@ def compute_dataset_bbox(class_names, dataset_root, out_dir):
 
 
 def lidar_to_rangeview_kitti(points, H=66, W=1030, intrinsics=(2.0, 26.9), max_depth=80.0):
-    """(N,4) points -> [H, W, 3] range view, ch1=intensity ch2=depth."""
-    pano, intensities = lidar_to_pano_with_intensities(points, H, W, intrinsics, max_depth)
+    """(N,4) points -> [H, W, 3] range view, ch1=intensity ch2=depth.
+
+    Uses the native C++ projection when the toolchain is available
+    (lidarnerf_tpu/native), falling back to the vectorized numpy path.
+    """
+    from lidarnerf_tpu import native
+
+    if native.available():
+        pano, intensities = native.lidar_to_pano_with_intensities(
+            points, H, W, intrinsics, max_depth
+        )
+    else:
+        pano, intensities = lidar_to_pano_with_intensities(
+            points, H, W, intrinsics, max_depth
+        )
     rv = np.zeros((H, W, 3))
     rv[:, :, 1] = intensities
     rv[:, :, 2] = pano
