@@ -173,6 +173,48 @@ class PointsMeter:
         return f"CD f-score = {self.measure()}"
 
 
+class LPIPSMeter:
+    """utils.py:486-530 — perceptual similarity via the `lpips` package.
+
+    RGB-only (never on the LiDAR path); requires the optional `lpips`
+    torch package and its pretrained weights, so construction is gated.
+    """
+
+    def __init__(self, net="alex", device=None):
+        try:
+            import lpips
+            import torch
+        except ImportError as e:
+            raise ImportError(
+                "LPIPSMeter requires the optional 'lpips' package (RGB eval only)"
+            ) from e
+        self.V, self.N = 0, 0
+        self.net = net
+        self._torch = torch
+        self.fn = lpips.LPIPS(net=net).eval()
+
+    def clear(self):
+        self.V, self.N = 0, 0
+
+    def update(self, preds, truths):
+        torch = self._torch
+        p = torch.tensor(np.asarray(preds)).permute(0, 3, 1, 2).contiguous()
+        t = torch.tensor(np.asarray(truths)).permute(0, 3, 1, 2).contiguous()
+        self.V += self.fn(t, p, normalize=True).item()
+        self.N += 1
+
+    def measure(self):
+        return self.V / self.N
+
+    def write(self, writer, global_step, prefix=""):
+        writer.add_scalar(
+            os.path.join(prefix, f"LPIPS ({self.net})"), self.measure(), global_step
+        )
+
+    def report(self):
+        return f"LPIPS ({self.net}) = {self.measure():.6f}"
+
+
 class SSIMMeter:
     """utils.py:430-483."""
 

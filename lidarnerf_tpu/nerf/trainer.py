@@ -43,6 +43,13 @@ from lidarnerf_tpu.ops import losses as L
 from lidarnerf_tpu.utils.geometry import filter_bbox_dataset
 
 
+def is_ali_cluster():
+    """Cluster sniff for the alternate summary path (utils.py:31-35)."""
+    import socket
+
+    return "auto-drive" in socket.gethostname()
+
+
 def _patch_tuple(p):
     if isinstance(p, int):
         return p
@@ -221,12 +228,25 @@ class Trainer:
             try:
                 import tensorboardX
 
-                writer = tensorboardX.SummaryWriter(
-                    os.path.join(self.workspace, "run", self.name)
-                )
+                if is_ali_cluster() and getattr(self.opt, "cluster_summary_path", None):
+                    summary_path = self.opt.cluster_summary_path
+                else:
+                    summary_path = os.path.join(self.workspace, "run", self.name)
+                writer = tensorboardX.SummaryWriter(summary_path)
             except ImportError:
                 pass
         self.writer = writer
+
+        # optional device tracing: --profile dumps a jax.profiler trace of the
+        # first profiled epoch under workspace/profile (SURVEY.md §5 tracing)
+        profile_dir = getattr(self.opt, "profile", None)
+        if profile_dir:
+            import jax.profiler
+
+            jax.profiler.start_trace(os.path.join(self.workspace, "profile"))
+            self._profiling = True
+        else:
+            self._profiling = False
 
         change_dataloader = self.opt.change_patch_size_lidar[0] > 1
         for epoch in range(self.epoch + 1, max_epochs + 1):
@@ -240,6 +260,13 @@ class Trainer:
                 patch = self.opt.patch_size_lidar
 
             self.train_one_epoch(train_dataset, patch)
+
+            if self._profiling:
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+                self._profiling = False
+                self.log(f"[INFO] profiler trace written to {self.workspace}/profile")
 
             if self.workspace is not None:
                 self.save_checkpoint(full=True, best=False)

@@ -179,6 +179,31 @@ def _level_index(corners_u32, level: _Level, spec: HashGridSpec):
     return index % np.uint32(level.size) + np.uint32(level.offset)
 
 
+def hash_grid_total_variation(table, spec: HashGridSpec, key, n_samples=100000):
+    """Stochastic total-variation regulariser over the grid.
+
+    Functional equivalent of the reference's kernel_grad_tv
+    (gridencoder.cu:696+, grid.py:239-277): sample random points, and for each
+    level penalise squared differences between the corner entry and its +1
+    neighbours along each axis. Returns a scalar loss (use jax.grad instead of
+    the reference's direct grad-accumulation API).
+    """
+    x = jax.random.uniform(key, (n_samples, spec.input_dim))
+    corners0 = _corner_offsets(spec.input_dim)[:1]  # base corner only
+    loss = 0.0
+    for level in spec.levels:
+        pos = x * level.scale + (0.0 if spec.align_corners else 0.5)
+        base = jnp.floor(pos).astype(jnp.uint32)[:, None, :]
+        idx0 = _level_index(base + corners0, level, spec)[:, 0]
+        f0 = jnp.take(table, idx0, axis=0)
+        for d in range(spec.input_dim):
+            nb = base.at[:, :, d].add(1)
+            idx1 = _level_index(nb, level, spec)[:, 0]
+            f1 = jnp.take(table, idx1, axis=0)
+            loss = loss + jnp.mean((f1 - f0) ** 2)
+    return loss
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def hash_grid_encode(x01, table, spec: HashGridSpec):
     """Encode points through the multiresolution hash grid.

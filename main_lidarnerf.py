@@ -54,6 +54,10 @@ def get_arg_parser():
     parser.add_argument("--test_eval", action="store_true", help="test and eval mode")
     parser.add_argument("--workspace", type=str, default="workspace")
     parser.add_argument("--cluster_summary_path", type=str, default="/summary")
+    parser.add_argument(
+        "--profile", action="store_true",
+        help="dump a jax.profiler trace of the first epoch to workspace/profile",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
         "--dataloader", type=str, choices=("kitti360", "nerf_mvl"), default="kitti360"
