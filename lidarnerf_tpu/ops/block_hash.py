@@ -229,25 +229,37 @@ def block_hash_encode(x01, table, spec: BlockHashSpec, use_pallas: bool = True):
 
 
 def _encode_impl(x01, table, spec, use_pallas):
+    out, _ = _encode_with_residuals(x01, table, spec, use_pallas)
+    return out
+
+
+def _encode_with_residuals(x01, table, spec, use_pallas):
     prefix = x01.shape[:-1]
     x = x01.reshape(-1, 3)
     if use_pallas and _on_tpu():
-        from lidarnerf_tpu.ops.block_hash_pallas import encode_fwd_pallas
+        from lidarnerf_tpu.ops.block_hash_pallas import (
+            encode_fwd_from_prep,
+            prep_inputs_padded,
+        )
 
-        out = encode_fwd_pallas(x, table, spec)
+        rows, lf, Q = prep_inputs_padded(x, spec)
+        out = encode_fwd_from_prep(rows, lf, table, Q, spec)
+        res = (rows, lf)
     else:
         out = _encode_xla(x, table, spec)
+        res = None
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)
     out = jnp.where(oob, 0.0, out)
-    return out.reshape(*prefix, spec.output_dim)
+    return out.reshape(*prefix, spec.output_dim), res
 
 
 def _encode_fwd(x01, table, spec, use_pallas):
-    return _encode_impl(x01, table, spec, use_pallas), (x01,)
+    out, res = _encode_with_residuals(x01, table, spec, use_pallas)
+    return out, (x01, res)
 
 
 def _encode_bwd(spec, use_pallas, residuals, g):
-    (x01,) = residuals
+    (x01, res) = residuals
     prefix = x01.shape[:-1]
     x = x01.reshape(-1, 3)
     g2 = g.reshape(-1, spec.output_dim).astype(jnp.float32)
@@ -255,9 +267,10 @@ def _encode_bwd(spec, use_pallas, residuals, g):
     g2 = jnp.where(oob, 0.0, g2)
 
     if use_pallas and _on_tpu():
-        from lidarnerf_tpu.ops.block_hash_pallas import encode_bwd_pallas
+        from lidarnerf_tpu.ops.block_hash_pallas import encode_bwd_from_prep
 
-        grad_table = encode_bwd_pallas(x, g2, spec)
+        rows, lf = res
+        grad_table = encode_bwd_from_prep(rows, lf, g2, spec)
     else:
         grad_table = jnp.zeros(
             (spec.table_rows, ROW_WIDTH), jnp.float32

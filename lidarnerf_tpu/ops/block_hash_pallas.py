@@ -123,7 +123,21 @@ def encode_fwd_pallas(x, table, spec):
     pad = (-Q) % CHUNK
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     rows, lf = _prep_inputs(xp, spec)  # [L*Qp], [L, 8, Qp]
-    Qp = Q + pad
+    return _fwd_from_prep(rows, lf, table, Q, spec)
+
+
+def prep_inputs_padded(x, spec):
+    """Public prep: pad to CHUNK and build (rows, lf) once for fwd + bwd."""
+    Q = x.shape[0]
+    pad = (-Q) % CHUNK
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    rows, lf = _prep_inputs(xp, spec)
+    return rows, lf, Q
+
+
+@functools.partial(jax.jit, static_argnames=("Q", "spec"))
+def _fwd_from_prep(rows, lf, table, Q, spec):
+    Qp = lf.shape[-1]
     L = spec.num_levels
     B = spec.blocks_per_level
 
@@ -147,6 +161,9 @@ def encode_fwd_pallas(x, table, spec):
     )(rows, lf, table)
     # [L, 2, Qp] -> [Qp, L*2]
     return jnp.transpose(out, (2, 0, 1)).reshape(Qp, L * 2)[:Q]
+
+
+encode_fwd_from_prep = _fwd_from_prep
 
 
 # ----------------------------------------------------------------- backward
@@ -180,9 +197,15 @@ def encode_bwd_pallas(x, g, spec):
     Q = x.shape[0]
     pad = (-Q) % CHUNK
     xp = jnp.pad(x, ((0, pad), (0, 0)))
-    gp = jnp.pad(g.astype(jnp.float32), ((0, pad), (0, 0)))
     rows, lf = _prep_inputs(xp, spec)
-    Qp = Q + pad
+    return _bwd_from_prep(rows, lf, g, spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _bwd_from_prep(rows, lf, g, spec):
+    Qp = lf.shape[-1]
+    Q = g.shape[0]
+    gp = jnp.pad(g.astype(jnp.float32), ((0, Qp - Q), (0, 0)))
     L = spec.num_levels
     B = spec.blocks_per_level
     g_levels = gp.reshape(Qp, L, 2).transpose(1, 2, 0)  # [L, 2, Qp]
@@ -206,3 +229,6 @@ def encode_bwd_pallas(x, g, spec):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(rows, lf, g_levels)
     return shards.sum(axis=0)
+
+
+encode_bwd_from_prep = _bwd_from_prep
