@@ -111,6 +111,15 @@ def get_arg_parser():
     # network backbone
     parser.add_argument("--fp16", action="store_true")
     parser.add_argument("--tcnn", action="store_true")
+    parser.add_argument(
+        "--encoding",
+        type=str,
+        default="blockhash",
+        choices=["blockhash", "hashgrid", "tiledgrid", "frequency"],
+        help="position encoding: blockhash = TPU-native fast hash grid "
+        "(Pallas), hashgrid = reference-exact corner-level hash, frequency = "
+        "encoder-free CPU-runnable config",
+    )
 
     # dataset options
     parser.add_argument("--color_space", type=str, default="srgb")
@@ -150,7 +159,7 @@ def build_dataset(opt, split):
 
 def build_model(opt):
     return NeRFNetwork(
-        encoding="hashgrid",
+        encoding=opt.encoding,
         desired_resolution=opt.desired_resolution,
         log2_hashmap_size=opt.log2_hashmap_size,
         n_features_per_level=opt.n_features_per_level,

@@ -116,3 +116,43 @@ class TestExtraLosses:
         ivals = jnp.full((1, 8), 0.1)
         val = float(losses.eff_distloss(w, mids, ivals)[0])
         np.testing.assert_allclose(val, 0.1 / 3, rtol=1e-5)
+
+
+class TestEncoderFactory:
+    def test_all_encodings(self):
+        import jax
+        from lidarnerf_tpu.ops.factory import get_encoder
+
+        x = jnp.array(np.random.RandomState(0).rand(8, 3), jnp.float32)
+        for name in ["None", "frequency", "sphere_harmonics", "hashgrid",
+                     "tiledgrid", "blockhash"]:
+            enc, init, dim = get_encoder(
+                name, multires=6, degree=4, num_levels=4,
+                log2_hashmap_size=10, desired_resolution=64,
+            )
+            params = init(jax.random.PRNGKey(0))
+            out = enc(x, params)
+            assert out.shape == (8, dim), name
+
+    def test_unknown_raises(self):
+        import pytest
+        from lidarnerf_tpu.ops.factory import get_encoder
+
+        with pytest.raises(NotImplementedError):
+            get_encoder("ash")
+
+    def test_tv_regularizer(self):
+        import jax
+        from lidarnerf_tpu.ops import hash_grid as hg
+
+        spec = hg.make_hash_grid_spec(
+            num_levels=2, base_resolution=4, log2_hashmap_size=8,
+            desired_resolution=8,
+        )
+        table = hg.hash_grid_init(jax.random.PRNGKey(0), spec)
+        loss = hg.hash_grid_total_variation(table, spec, jax.random.PRNGKey(1), 1000)
+        assert float(loss) >= 0
+        g = jax.grad(
+            lambda t: hg.hash_grid_total_variation(t, spec, jax.random.PRNGKey(1), 1000)
+        )(table)
+        assert np.isfinite(np.asarray(g)).all()
