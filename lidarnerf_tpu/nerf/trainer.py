@@ -618,8 +618,7 @@ class Trainer:
                     old = self.stats["checkpoints"].pop(0)
                     if os.path.exists(old):
                         os.remove(old)
-            with open(file_path, "wb") as f:
-                pickle.dump(self._state_dict(full), f)
+            self._atomic_dump(self._state_dict(full), file_path)
         else:
             if len(self.stats["results"]) > 0:
                 if (
@@ -635,16 +634,32 @@ class Trainer:
                     # best ckpt stores EMA weights as the model (utils.py:1492-1506)
                     if self.ema_params is not None:
                         state["model"] = jax.device_get(self.ema_params)
-                    with open(self.best_path, "wb") as f:
-                        pickle.dump(state, f)
+                    self._atomic_dump(state, self.best_path)
             else:
                 self.log("[WARN] no evaluated results found, skip saving best checkpoint.")
+
+    def _atomic_dump(self, state, path):
+        """Write-to-tmp + rename so an interrupted save never corrupts a ckpt."""
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        os.replace(tmp, path)
 
     def load_checkpoint(self, checkpoint=None, model_only=False):
         if checkpoint is None:
             ckpts = sorted(glob.glob(f"{self.ckpt_path}/{self.name}_ep*.ckpt"))
-            if ckpts:
-                checkpoint = ckpts[-1]
+            # walk back over unreadable checkpoints (e.g. pre-atomic-write
+            # files truncated by a kill): idempotent-restart contract
+            while ckpts:
+                checkpoint = ckpts.pop()
+                try:
+                    with open(checkpoint, "rb") as f:
+                        pickle.load(f)
+                    break
+                except Exception:
+                    self.log(f"[WARN] corrupt checkpoint {checkpoint}, skipping.")
+                    checkpoint = None
+            if checkpoint:
                 self.log(f"[INFO] Latest checkpoint is {checkpoint}")
             else:
                 self.log("[WARN] No checkpoint found, model randomly initialized.")

@@ -128,3 +128,42 @@ class TestMeters:
         p.update(a, b)
         np.testing.assert_allclose(r.measure(), 0.5, rtol=1e-6)
         np.testing.assert_allclose(p.measure(), -10 * np.log10(0.25), rtol=1e-6)
+
+
+class TestCheckpointRobustness:
+    def test_corrupt_latest_falls_back(self, tmp_path):
+        """A truncated latest ckpt must not break resume (atomic-write + skip)."""
+        import pickle
+        from types import SimpleNamespace
+
+        from lidarnerf_tpu.models.network import NeRFNetwork
+        from lidarnerf_tpu.nerf.trainer import Trainer
+
+        opt = SimpleNamespace(
+            alpha_d=1e3, alpha_r=1.0, alpha_i=1.0, alpha_grad_norm=1.0,
+            alpha_spatial=0.1, alpha_tv=1.0, alpha_grad=1e2,
+            depth_loss="l1", depth_grad_loss="l1", intensity_loss="mse",
+            raydrop_loss="mse", spatial_smooth=False, grad_norm_smooth=False,
+            tv_loss=False, grad_loss=False, sobel_grad=False, scale=0.05,
+            num_rays_lidar=64, H_lidar=8, W_lidar=16,
+            intrinsics_lidar=(10.0, 30.0), lr=1e-2, iters=10,
+            num_steps=8, upsample_steps=2, min_near_lidar=0.05, min_near=0.05,
+            bound=1.0, seed=0, max_ray_batch=64, patch_size_lidar=1,
+            change_patch_size_lidar=[1, 1], change_patch_size_epoch=2,
+            dataloader="kitti360", alpha_r_pos=True,
+        )
+        module = NeRFNetwork(desired_resolution=32, log2_hashmap_size=8, num_levels=2)
+        tr = Trainer("t", opt, module, workspace=str(tmp_path), ema_decay=0.95,
+                     use_checkpoint="scratch")
+        tr.epoch = 3
+        tr.save_checkpoint(full=True)
+        tr.epoch = 4
+        tr.save_checkpoint(full=True)
+        # truncate the latest
+        latest = sorted((tmp_path / "checkpoints").glob("t_ep*.ckpt"))[-1]
+        data = latest.read_bytes()
+        latest.write_bytes(data[: len(data) // 2])
+
+        tr2 = Trainer("t", opt, module, workspace=str(tmp_path), ema_decay=0.95,
+                      use_checkpoint="latest")
+        assert tr2.epoch == 3  # fell back to the intact epoch-3 ckpt
