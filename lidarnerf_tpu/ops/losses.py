@@ -23,10 +23,28 @@ def bce_with_logits(pred, gt):
 
 
 def huber(pred, gt, delta=1.0):
+    """torch.nn.HuberLoss semantics (the CLI criterion, main_lidarnerf.py:334)."""
     err = jnp.abs(pred - gt)
     quad = 0.5 * err**2
     lin = delta * (err - 0.5 * delta)
     return jnp.where(err < delta, quad, lin)
+
+
+def huber_loss_ngp(pred, gt, delta=0.1):
+    """The torch-ngp huber variant in loss.py:18-27 (0.5/delta scaling)."""
+    rel = jnp.abs(pred - gt)
+    sqr = 0.5 / delta * rel * rel
+    return jnp.where(rel > delta, rel - 0.5 * delta, sqr)
+
+
+def linear_to_srgb(x):
+    """utils.py:38-40."""
+    return jnp.where(x < 0.0031308, 12.92 * x, 1.055 * x**0.41666 - 0.055)
+
+
+def srgb_to_linear(x):
+    """utils.py:43-45."""
+    return jnp.where(x < 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
 
 
 def cosine_similarity(pred, gt, axis=1, eps=1e-8):
