@@ -218,6 +218,12 @@ class Trainer:
         return poses, images, vi, vc, True
 
     def _eval_params(self):
+        """EMA weights for validation (utils.py:1297-1299 ema.store/copy_to).
+
+        Note test()/save_mesh() deliberately use the raw loaded weights — the
+        reference never swaps EMA there (utils.py:1084-1175, 1011-1040); the
+        best checkpoint already *stores* EMA weights as the model.
+        """
         return self.ema_params if self.ema_params is not None else self.params
 
     # ------------------------------------------------------------------ train
@@ -483,7 +489,7 @@ class Trainer:
         os.makedirs(save_path, exist_ok=True)
         self.log(f"==> Start Test, save results to {save_path}")
 
-        params = self._eval_params()
+        params = self.params  # raw/loaded weights (see _eval_params note)
         is_mvl = getattr(self.opt, "dataloader", "kitti360") == "nerf_mvl"
         all_preds, all_preds_depth = [], []
 
@@ -571,7 +577,7 @@ class Trainer:
         self.log(f"==> Saving mesh to {save_path}")
         os.makedirs(os.path.dirname(save_path), exist_ok=True)
 
-        params = self._eval_params()
+        params = self.params  # raw/loaded weights (see _eval_params note)
 
         def query_func(pts):
             sigma, _ = self.module.apply(
