@@ -12,7 +12,7 @@ All trig runs in float32 regardless of ambient precision (the reference pins
 ray-gen to fp32 via @autocast(enabled=False), base_dataset.py:15).
 """
 
-from functools import partial
+
 
 import numpy as np
 import jax

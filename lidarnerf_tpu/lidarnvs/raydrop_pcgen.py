@@ -11,7 +11,7 @@ per-batch torch loop becomes one jitted optax step.
 
 import os
 import pickle
-from functools import partial
+
 from pathlib import Path
 
 import numpy as np

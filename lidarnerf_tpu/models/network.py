@@ -31,7 +31,6 @@ from lidarnerf_tpu.ops.encoders import (
     frequency_encode,
     frequency_encoding_dim,
     sh_encode,
-    sh_encoding_dim,
 )
 from lidarnerf_tpu.ops import hash_grid as hg
 

@@ -10,7 +10,6 @@ blockhash (the TPU-native fast hash, extra vs the reference) — `ash` is an
 external research encoder in the reference and intentionally descoped.
 """
 
-import jax.numpy as jnp
 
 from lidarnerf_tpu.ops import block_hash as bhash
 from lidarnerf_tpu.ops import hash_grid as hg
