@@ -218,6 +218,20 @@ class NeRFNetwork(nn.Module):
             return self.lidar_color(d, geo_feat)
         return self.rgb_color(d, geo_feat)
 
+    def encode_dir(self, d, cal_lidar_color: bool = True):
+        """Direction encoding alone — the renderer computes this once per RAY
+        and broadcasts over samples (directions are constant along a ray;
+        encoding per sample would redo 24x3 transcendentals 832 times)."""
+        if cal_lidar_color:
+            return frequency_encode(d, 12)
+        return sh_encode(d, 4)
+
+    def color_from_enc(self, d_enc, geo_feat, cal_lidar_color: bool = True):
+        """Color heads on a precomputed direction encoding."""
+        net = self.lidar_color_net if cal_lidar_color else self.color_net
+        h = net(jnp.concatenate([d_enc, geo_feat], axis=-1))
+        return jax.nn.sigmoid(h.astype(jnp.float32))
+
     def background(self, x_sph, d):
         """Background RGB from sphere coords (network.py:181-196).
 

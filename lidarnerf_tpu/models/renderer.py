@@ -133,9 +133,14 @@ def render_rays(module, params, rays_o, rays_d, key, cfg: RenderConfig, train: b
 
     weights = composite_weights(sigmas, z_vals, sample_dist, cfg.density_scale)  # [N,S]
 
-    dirs = jnp.broadcast_to(rays_d[:, None, :], z_vals.shape + (3,))
+    # encode directions once per ray (constant along the ray), broadcast over
+    # samples — saves 832x the sin/cos work of per-sample encoding
+    d_enc = module.apply(
+        params, rays_d, cfg.cal_lidar_color, method=module.encode_dir
+    )  # [N, E]
+    d_enc_b = jnp.broadcast_to(d_enc[:, None, :], z_vals.shape + (d_enc.shape[-1],))
     rgbs = module.apply(
-        params, dirs, geo_feats, cfg.cal_lidar_color, method=module.color
+        params, d_enc_b, geo_feats, cfg.cal_lidar_color, method=module.color_from_enc
     )  # [N, S, out]
     # reference zeroes colors where weights <= 1e-4 (renderer.py:249-256)
     mask = weights > cfg.weight_mask_thresh

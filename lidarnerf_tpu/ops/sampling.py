@@ -117,9 +117,14 @@ permutation_gather.defvjp(_perm_gather_fwd, _perm_gather_bwd)
 def sort_merge_z(z_coarse, z_fine, *extras):
     """Merge coarse+fine depth samples, sorting each ray (renderer.py:217-231).
 
+    All reordered arrays are fused into ONE [N, S, C] permutation gather:
+    width-1 row gathers are the worst case for the TPU gather unit (~80M
+    rows/s regardless of width), so three separate gathers of z/sigma/feat
+    cost 3x what one fused 17-wide gather does — fwd and bwd.
+
     Args:
         z_coarse: [N, T], z_fine: [N, t].
-        extras: additional per-sample arrays [N, T, ...] / [N, t, ...] pairs
+        extras: additional per-sample arrays [N, T(, C)] / [N, t(, C)] pairs
             given as (coarse, fine) tuples to reorder alongside z.
 
     Returns:
@@ -128,9 +133,24 @@ def sort_merge_z(z_coarse, z_fine, *extras):
     z_all = jnp.concatenate([z_coarse, z_fine], axis=1)
     order = jnp.argsort(z_all, axis=1)
     inv_order = jnp.argsort(order, axis=1)
-    z_sorted = permutation_gather(z_all, order, inv_order)
-    outs = []
+
+    chans = [z_all[..., None]]
+    splits = [1]
     for coarse, fine in extras:
         merged = jnp.concatenate([coarse, fine], axis=1)
-        outs.append(permutation_gather(merged, order, inv_order))
-    return (z_sorted, order, *outs)
+        if merged.ndim == 2:
+            merged = merged[..., None]
+        chans.append(merged)
+        splits.append(merged.shape[-1])
+    fused = jnp.concatenate(chans, axis=-1)  # [N, S, 1 + sum(C_i)]
+    sorted_fused = permutation_gather(fused, order, inv_order)
+
+    outs = []
+    off = 1
+    for (coarse, _), c in zip(extras, splits[1:]):
+        part = sorted_fused[..., off : off + c]
+        if coarse.ndim == 2:
+            part = part[..., 0]
+        outs.append(part)
+        off += c
+    return (sorted_fused[..., 0], order, *outs)
