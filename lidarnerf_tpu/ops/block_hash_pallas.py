@@ -42,7 +42,7 @@ def _prep_inputs(x, spec):
 
     Returns:
         rows: [L * Q] int32 within-level block row ids (flat, chunk-indexed).
-        locfrac: [L, 8, Q] float32 = (lx, ly, lz, fx, fy, fz, 0, 0) per query.
+        locfrac: [L, 4, Q] float32 = in-block position (px, py, pz, 0) per query.
     """
     rows, lf = [], []
     for level in spec.levels:
@@ -65,32 +65,33 @@ def _prep_inputs(x, spec):
                 ^ b[:, 2] * np.uint32(bh._HASH_PRIMES[2])
             )
         rows.append((idx % np.uint32(spec.blocks_per_level)).astype(jnp.int32))
+        # in-block continuous position p = local + frac; trilinear weight along
+        # an axis is then simply relu(1 - |corner - p|)
+        pos_in_block = local.astype(jnp.float32) + frac
         lf.append(
             jnp.concatenate(
-                [
-                    local.astype(jnp.float32).T,
-                    frac.T,
-                    jnp.zeros((2, x.shape[0]), jnp.float32),
-                ],
-                axis=0,
+                [pos_in_block.T, jnp.zeros((1, x.shape[0]), jnp.float32)], axis=0
             )
-        )  # [8, Q]
+        )  # [4, Q]
     return jnp.concatenate(rows), jnp.stack(lf)
 
 
-def _lane_weights(locfrac):
-    """[CHUNK, 8] (lx,ly,lz,fx,fy,fz,..) -> [CHUNK, 128] trilinear lane row."""
-    n = locfrac.shape[0]
+def _lane_weights(pos_in_block):
+    """[CHUNK, 4] (px, py, pz, 0) -> [CHUNK, 128] trilinear lane row.
+
+    Per axis the weight of corner s for in-block position p is the tent
+    function relu(1 - |s - p|): 1-frac at the floor corner, frac at the
+    ceil corner, 0 elsewhere — one fused VPU expression per axis.
+    """
+    n = pos_in_block.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
-    sx = lane >> 5
-    sy = (lane >> 3) & 3
-    sz = (lane >> 1) & 3
+    sx = (lane >> 5).astype(jnp.float32)
+    sy = ((lane >> 3) & 3).astype(jnp.float32)
+    sz = ((lane >> 1) & 3).astype(jnp.float32)
     w = jnp.ones((n, 128), jnp.float32)
     for a, s in ((0, sx), (1, sy), (2, sz)):
-        lo = locfrac[:, a : a + 1].astype(jnp.int32)
-        f = locfrac[:, a + 3 : a + 4]
-        wa = jnp.where(s == lo, 1.0 - f, 0.0) + jnp.where(s == lo + 1, f, 0.0)
-        w = w * wa
+        p = pos_in_block[:, a : a + 1]
+        w = w * jnp.maximum(1.0 - jnp.abs(s - p), 0.0)
     return w
 
 
@@ -149,7 +150,7 @@ def _fwd_from_prep(rows, lf, table, Q, spec):
             pl.BlockSpec(
                 (CHUNK,), lambda l, i: (l * nchunks + i,), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec((1, 8, CHUNK), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, CHUNK), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 128), lambda l, i: (l, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -218,7 +219,7 @@ def _bwd_from_prep(rows, lf, g, spec):
             pl.BlockSpec(
                 (CHUNK,), lambda l, i: (l * nchunks + i,), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec((1, 8, CHUNK), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, CHUNK), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, CHUNK), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
