@@ -137,6 +137,9 @@ class Trainer:
         self._np_rng = np.random.RandomState(getattr(opt, "seed", 0))
 
         self._step_fns = {}
+        self._mesh_cache = None
+        self.writer = None
+        self._profiling = False
 
         self.epoch = 0
         self.global_step = 0
@@ -194,16 +197,57 @@ class Trainer:
             print(*args, file=self.log_ptr)
             self.log_ptr.flush()
 
+    def _mesh(self):
+        """Data-parallel mesh over all available devices (1-device = no-op).
+
+        Replaces the reference's DDP scaffolding (utils.py:589-593): the ray
+        batch shards over the `data` axis and XLA all-reduces the grads.
+        """
+        if self._mesh_cache is None:
+            from lidarnerf_tpu.parallel.sharding import make_mesh
+
+            # "auto": shard on multi-chip TPU; explicit opt.data_parallel=True
+            # forces it (e.g. for virtual-mesh testing); False disables.
+            dp = getattr(self.opt, "data_parallel", "auto")
+            if dp == "auto":
+                dp = jax.default_backend() in ("tpu", "axon")
+            n = len(jax.devices()) if dp else 1
+            while n > 1 and self.train_cfg.num_rays_lidar % n != 0:
+                n -= 1
+            self._mesh_cache = make_mesh(n)
+            if n > 1:
+                from lidarnerf_tpu.parallel.sharding import replicate
+
+                self.params = replicate(self.params, self._mesh_cache)
+                self.opt_state = replicate(self.opt_state, self._mesh_cache)
+                if self.ema_params is not None:
+                    self.ema_params = replicate(self.ema_params, self._mesh_cache)
+                self.log(f"[INFO] data-parallel over {n} devices")
+        return self._mesh_cache
+
     def _get_step_fn(self, patch_size, masked_sampling):
         key = (_patch_tuple(patch_size), masked_sampling)
         if key not in self._step_fns:
-            self._step_fns[key] = make_train_step(
-                self.module,
-                self.train_cfg,
-                self.render_cfg,
-                patch_size=patch_size,
-                masked_sampling=masked_sampling,
-            )
+            mesh = self._mesh()
+            if mesh.devices.size > 1:
+                from lidarnerf_tpu.parallel.sharding import make_sharded_train_step
+
+                self._step_fns[key] = make_sharded_train_step(
+                    self.module,
+                    self.train_cfg,
+                    self.render_cfg,
+                    mesh,
+                    patch_size=patch_size,
+                    masked_sampling=masked_sampling,
+                )
+            else:
+                self._step_fns[key] = make_train_step(
+                    self.module,
+                    self.train_cfg,
+                    self.render_cfg,
+                    patch_size=patch_size,
+                    masked_sampling=masked_sampling,
+                )
         return self._step_fns[key]
 
     def _device_data(self, dataset):
@@ -213,9 +257,18 @@ class Trainer:
             F = poses.shape[0]
             vi = jnp.zeros((F, 1), jnp.int32)
             vc = jnp.full((F,), images.shape[1] * images.shape[2], jnp.int32)
-            return poses, images, vi, vc, False
-        poses, images, vi, vc = arrs
-        return poses, images, vi, vc, True
+            masked = False
+        else:
+            poses, images, vi, vc = arrs
+            masked = True
+        mesh = self._mesh()
+        if mesh.devices.size > 1:
+            from lidarnerf_tpu.parallel.sharding import replicate
+
+            poses, images, vi, vc = (
+                replicate(x, mesh) for x in (poses, images, vi, vc)
+            )
+        return poses, images, vi, vc, masked
 
     def _eval_params(self):
         """EMA weights for validation (utils.py:1297-1299 ema.store/copy_to).

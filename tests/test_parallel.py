@@ -102,3 +102,49 @@ def test_graft_entry_forward_small():
     )
     assert out[0].shape == (32,)
     assert out[1].shape == (32, 2)
+
+
+def test_trainer_multi_device_integration(tmp_path):
+    """Trainer auto-shards over the virtual mesh when data_parallel=True."""
+    from types import SimpleNamespace
+
+    from lidarnerf_tpu.nerf.trainer import Trainer
+
+    opt = SimpleNamespace(
+        alpha_d=1e3, alpha_r=1.0, alpha_i=1.0, alpha_grad_norm=1.0,
+        alpha_spatial=0.1, alpha_tv=1.0, alpha_grad=1e2,
+        depth_loss="l1", depth_grad_loss="l1", intensity_loss="mse",
+        raydrop_loss="mse", spatial_smooth=False, grad_norm_smooth=False,
+        tv_loss=False, grad_loss=False, sobel_grad=False, scale=0.05,
+        num_rays_lidar=64, H_lidar=H, W_lidar=W,
+        intrinsics_lidar=(10.0, 30.0), lr=1e-2, iters=4,
+        num_steps=8, upsample_steps=2, min_near_lidar=0.05, min_near=0.05,
+        bound=1.0, seed=0, max_ray_batch=64, patch_size_lidar=1,
+        change_patch_size_lidar=[1, 1], change_patch_size_epoch=2,
+        dataloader="kitti360", data_parallel=True,
+    )
+
+    class DS:
+        def __init__(self):
+            rng = np.random.RandomState(0)
+            self.poses_lidar = np.broadcast_to(
+                np.eye(4, dtype=np.float32), (2, 4, 4)
+            ).copy()
+            img = rng.rand(2, H, W, 3).astype(np.float32)
+            img[..., 2] *= 0.4
+            self.images_lidar = img
+            self.H_lidar, self.W_lidar = H, W
+            self.intrinsics_lidar = (10.0, 30.0)
+
+        def device_arrays(self):
+            return jnp.asarray(self.poses_lidar), jnp.asarray(self.images_lidar)
+
+        def __len__(self):
+            return 2
+
+    module = NeRFNetwork(desired_resolution=32, log2_hashmap_size=8, num_levels=2)
+    tr = Trainer("dp", opt, module, workspace=str(tmp_path), ema_decay=0.95,
+                 use_checkpoint="scratch", use_tensorboardX=False)
+    tr.train_one_epoch(DS(), patch_size=1)
+    assert tr._mesh_cache.devices.size == 8
+    assert np.isfinite(tr.stats["loss"][-1])
