@@ -34,7 +34,7 @@ from lidarnerf_tpu.ops import block_hash as bh
 
 CHUNK = 4096
 UNROLL = 8
-SHARDS = 8
+SHARDS = 4  # must divide CHUNK; x2 levels per step doubles hazard distance; 8 OOMs VMEM
 
 
 def _prep_inputs(x, spec):
@@ -98,23 +98,33 @@ def _lane_weights(pos_in_block):
 # ------------------------------------------------------------------ forward
 
 
-def _fwd_kernel(idx_ref, lf_ref, table_ref, out_ref, rows_scratch):
+def _fwd_kernel(idx0_ref, idx1_ref, lf_ref, table_ref, out_ref, rows_scratch):
+    """Paired-level forward: one grid step serves levels (2p, 2p+1).
+
+    The two independent row fetches per loop iteration interleave in the
+    scalar pipeline (+~16% loop rate vs one level at a time), and every loop/
+    bookkeeping cycle is amortised over two rows. idx1 is pre-offset by B in
+    the prep so both fetches index the same two-level table block.
+    """
+
     def body(b, _):
         q0 = b * UNROLL
         for u in range(UNROLL):
-            rows_scratch[q0 + u, :] = table_ref[idx_ref[q0 + u], :]
+            rows_scratch[0, q0 + u, :] = table_ref[idx0_ref[q0 + u], :]
+            rows_scratch[1, q0 + u, :] = table_ref[idx1_ref[q0 + u], :]
         return 0
 
     jax.lax.fori_loop(0, CHUNK // UNROLL, body, 0)
 
-    lf = jnp.transpose(lf_ref[0], (1, 0))  # [CHUNK, 8]
-    W = _lane_weights(lf)  # [CHUNK, 128]
-    prod = rows_scratch[:] * W
     lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
-    even = jnp.where(lane & 1 == 0, prod, 0.0).sum(axis=1)
-    odd = jnp.where(lane & 1 == 1, prod, 0.0).sum(axis=1)
-    feats = jnp.stack([even, odd], axis=-1)  # [CHUNK, 2]
-    out_ref[0, :, :] = jnp.transpose(feats, (1, 0))  # [2, CHUNK]
+    for lvl in range(2):
+        lf = jnp.transpose(lf_ref[lvl], (1, 0))  # [CHUNK, 4]
+        W = _lane_weights(lf)  # [CHUNK, 128]
+        prod = rows_scratch[lvl] * W
+        even = jnp.where(lane & 1 == 0, prod, 0.0).sum(axis=1)
+        odd = jnp.where(lane & 1 == 1, prod, 0.0).sum(axis=1)
+        feats = jnp.stack([even, odd], axis=-1)  # [CHUNK, 2]
+        out_ref[lvl, :, :] = jnp.transpose(feats, (1, 0))  # [2, CHUNK]
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
@@ -142,24 +152,34 @@ def _fwd_from_prep(rows, lf, table, Q, spec):
     L = spec.num_levels
     B = spec.blocks_per_level
 
+    assert L % 2 == 0, "paired-level kernels require an even level count"
     nchunks = Qp // CHUNK
+    # offset odd levels' row ids by B: each grid step loads a 2-level block
+    rows2 = rows.reshape(L, Qp)
+    rows2 = rows2 + (jnp.arange(L, dtype=jnp.int32) % 2)[:, None] * np.int32(B)
+    rows2 = rows2.reshape(-1)
     out = pl.pallas_call(
         _fwd_kernel,
-        grid=(L, nchunks),
+        grid=(L // 2, nchunks),
         in_specs=[
             pl.BlockSpec(
-                (CHUNK,), lambda l, i: (l * nchunks + i,), memory_space=pltpu.SMEM
+                (CHUNK,), lambda p, i: (2 * p * nchunks + i,), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec((1, 4, CHUNK), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 128), lambda l, i: (l, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (CHUNK,),
+                lambda p, i: ((2 * p + 1) * nchunks + i,),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((2, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * B, 128), lambda p, i: (p, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 2, CHUNK), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM
+            (2, 2, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((L, 2, Qp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((CHUNK, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, CHUNK, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(rows, lf, table)
+    )(rows2, rows2, lf, table)
     # [L, 2, Qp] -> [Qp, L*2]
     return jnp.transpose(out, (2, 0, 1)).reshape(Qp, L * 2)[:Q]
 
@@ -170,23 +190,32 @@ encode_fwd_from_prep = _fwd_from_prep
 # ----------------------------------------------------------------- backward
 
 
-def _bwd_kernel(idx_ref, lf_ref, g_ref, grad_ref, rows_scratch):
+def _bwd_kernel(idx0_ref, idx1_ref, lf_ref, g_ref, grad_ref, rows_scratch):
+    """Paired-level backward: grid step (p, i) accumulates levels (2p, 2p+1).
+
+    Two independent RMW chains per iteration (different level sub-tables)
+    pipeline alongside the shard interleaving.
+    """
+
     @pl.when(pl.program_id(1) == 0)
     def _():
         grad_ref[:] = jnp.zeros_like(grad_ref)
 
-    lf = jnp.transpose(lf_ref[0], (1, 0))  # [CHUNK, 8]
-    W = _lane_weights(lf)  # [CHUNK, 128]
-    g = jnp.transpose(g_ref[0], (1, 0))  # [CHUNK, 2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
-    g_lane = jnp.where(lane & 1 == 0, g[:, 0:1], g[:, 1:2])
-    rows_scratch[:] = W * g_lane
+    for lvl in range(2):
+        lf = jnp.transpose(lf_ref[lvl], (1, 0))  # [CHUNK, 4]
+        W = _lane_weights(lf)  # [CHUNK, 128]
+        g = jnp.transpose(g_ref[lvl], (1, 0))  # [CHUNK, 2]
+        g_lane = jnp.where(lane & 1 == 0, g[:, 0:1], g[:, 1:2])
+        rows_scratch[lvl] = W * g_lane
 
     def body(b, _):
         q0 = b * SHARDS
         for u in range(SHARDS):
-            i = idx_ref[q0 + u]
-            grad_ref[u, i, :] = grad_ref[u, i, :] + rows_scratch[q0 + u, :]
+            i0 = idx0_ref[q0 + u]
+            i1 = idx1_ref[q0 + u]
+            grad_ref[u, i0, :] = grad_ref[u, i0, :] + rows_scratch[0, q0 + u, :]
+            grad_ref[u, i1, :] = grad_ref[u, i1, :] + rows_scratch[1, q0 + u, :]
         return 0
 
     jax.lax.fori_loop(0, CHUNK // SHARDS, body, 0)
@@ -211,24 +240,33 @@ def _bwd_from_prep(rows, lf, g, spec):
     B = spec.blocks_per_level
     g_levels = gp.reshape(Qp, L, 2).transpose(1, 2, 0)  # [L, 2, Qp]
 
+    assert L % 2 == 0, "paired-level kernels require an even level count"
     nchunks = Qp // CHUNK
+    rows2 = rows.reshape(L, Qp)
+    rows2 = rows2 + (jnp.arange(L, dtype=jnp.int32) % 2)[:, None] * np.int32(B)
+    rows2 = rows2.reshape(-1)
     shards = pl.pallas_call(
         _bwd_kernel,
-        grid=(L, nchunks),
+        grid=(L // 2, nchunks),
         in_specs=[
             pl.BlockSpec(
-                (CHUNK,), lambda l, i: (l * nchunks + i,), memory_space=pltpu.SMEM
+                (CHUNK,), lambda p, i: (2 * p * nchunks + i,), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec((1, 4, CHUNK), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, CHUNK), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (CHUNK,),
+                lambda p, i: ((2 * p + 1) * nchunks + i,),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((2, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (SHARDS, B, 128), lambda l, i: (0, l, 0), memory_space=pltpu.VMEM
+            (SHARDS, 2 * B, 128), lambda p, i: (0, p, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((SHARDS, L * B, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((CHUNK, 128), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(rows, lf, g_levels)
+        scratch_shapes=[pltpu.VMEM((2, CHUNK, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+    )(rows2, rows2, lf, g_levels)
     return shards.sum(axis=0)
 
 
