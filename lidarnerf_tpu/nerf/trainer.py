@@ -657,6 +657,9 @@ class Trainer:
             "global_step": self.global_step,
             "stats": self.stats,
             "ema_num_updates": self.ema_num_updates,
+            # PRNG streams so a resumed run continues the exact sample sequence
+            "rng": np.asarray(jax.device_get(self.rng)),
+            "np_rng": self._np_rng.get_state(),
         }
         state["model"] = jax.device_get(self.params)
         if self.ema_params is not None:
@@ -746,6 +749,10 @@ class Trainer:
         self.epoch = ckpt["epoch"]
         self.global_step = ckpt["global_step"]
         self.ema_num_updates = ckpt.get("ema_num_updates", 0)
+        if "rng" in ckpt:
+            self.rng = jnp.asarray(ckpt["rng"])
+        if "np_rng" in ckpt:
+            self._np_rng.set_state(ckpt["np_rng"])
         self.log(f"[INFO] load at epoch {self.epoch}, global step {self.global_step}")
 
         if "optimizer" in ckpt:
