@@ -40,6 +40,7 @@ from lidarnerf_tpu.nerf.train_step import (
     make_train_step,
 )
 from lidarnerf_tpu.ops import losses as L
+from lidarnerf_tpu.utils import checkpoint_io
 from lidarnerf_tpu.utils.geometry import filter_bbox_dataset
 
 
@@ -73,6 +74,7 @@ class Trainer:
         best_mode="min",
         use_checkpoint="latest",
         use_tensorboardX=True,
+        ckpt_format="pickle",
     ):
         self.name = name
         self.opt = opt
@@ -86,6 +88,7 @@ class Trainer:
         self.workspace = workspace
         self.best_mode = best_mode
         self.use_tensorboardX = use_tensorboardX
+        self.ckpt_format = ckpt_format
         self.time_stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
 
         self.train_cfg = TrainConfig(
@@ -677,9 +680,7 @@ class Trainer:
             if remove_old:
                 self.stats["checkpoints"].append(file_path)
                 if len(self.stats["checkpoints"]) > self.max_keep_ckpt:
-                    old = self.stats["checkpoints"].pop(0)
-                    if os.path.exists(old):
-                        os.remove(old)
+                    checkpoint_io.remove(self.stats["checkpoints"].pop(0))
             self._atomic_dump(self._state_dict(full), file_path)
         else:
             if len(self.stats["results"]) > 0:
@@ -701,11 +702,8 @@ class Trainer:
                 self.log("[WARN] no evaluated results found, skip saving best checkpoint.")
 
     def _atomic_dump(self, state, path):
-        """Write-to-tmp + rename so an interrupted save never corrupts a ckpt."""
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(state, f)
-        os.replace(tmp, path)
+        """Atomic persist in the configured format (pickle file / orbax dir)."""
+        checkpoint_io.dump_state(state, path, self.ckpt_format)
 
     def load_checkpoint(self, checkpoint=None, model_only=False):
         if checkpoint is None:
@@ -714,21 +712,17 @@ class Trainer:
             # files truncated by a kill): idempotent-restart contract
             while ckpts:
                 checkpoint = ckpts.pop()
-                try:
-                    with open(checkpoint, "rb") as f:
-                        pickle.load(f)
+                if checkpoint_io.probe(checkpoint):
                     break
-                except Exception:
-                    self.log(f"[WARN] corrupt checkpoint {checkpoint}, skipping.")
-                    checkpoint = None
+                self.log(f"[WARN] corrupt checkpoint {checkpoint}, skipping.")
+                checkpoint = None
             if checkpoint:
                 self.log(f"[INFO] Latest checkpoint is {checkpoint}")
             else:
                 self.log("[WARN] No checkpoint found, model randomly initialized.")
                 return
 
-        with open(checkpoint, "rb") as f:
-            ckpt = pickle.load(f)
+        ckpt = checkpoint_io.load_state(checkpoint)
 
         def to_device(tree):
             return jax.tree.map(jnp.asarray, tree)

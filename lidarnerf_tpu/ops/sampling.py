@@ -122,6 +122,11 @@ def sort_merge_z(z_coarse, z_fine, *extras):
     rows/s regardless of width), so three separate gathers of z/sigma/feat
     cost 3x what one fused 17-wide gather does — fwd and bwd.
 
+    On TPU the gather runs as an MXU one-hot matmul (ops/perm_gather_pallas)
+    — ~25x faster than the XLA gather unit at training scale, exact to
+    ~2^-22 via 3-way bf16 channel splitting; elsewhere it falls back to
+    `take_along_axis` with the inverse-permutation VJP.
+
     Args:
         z_coarse: [N, T], z_fine: [N, t].
         extras: additional per-sample arrays [N, T(, C)] / [N, t(, C)] pairs
@@ -143,7 +148,12 @@ def sort_merge_z(z_coarse, z_fine, *extras):
         chans.append(merged)
         splits.append(merged.shape[-1])
     fused = jnp.concatenate(chans, axis=-1)  # [N, S, 1 + sum(C_i)]
-    sorted_fused = permutation_gather(fused, order, inv_order)
+    if jax.default_backend() == "tpu":
+        from lidarnerf_tpu.ops.perm_gather_pallas import mxu_permutation_gather
+
+        sorted_fused = mxu_permutation_gather(fused, inv_order)
+    else:
+        sorted_fused = permutation_gather(fused, order, inv_order)
 
     outs = []
     off = 1

@@ -102,6 +102,13 @@ def get_arg_parser():
     parser.add_argument("--iters", type=int, default=30000)
     parser.add_argument("--lr", type=float, default=1e-2)
     parser.add_argument("--ckpt", type=str, default="latest")
+    parser.add_argument(
+        "--ckpt_format",
+        type=str,
+        default="pickle",
+        choices=["pickle", "orbax"],
+        help="checkpoint serialization backend (orbax: sharded/multi-host array store)",
+    )
     parser.add_argument("--num_rays", type=int, default=4096)
     parser.add_argument("--num_steps", type=int, default=768)
     parser.add_argument("--upsample_steps", type=int, default=64)
@@ -223,6 +230,7 @@ def main():
             depth_metrics=make_metrics(test_dataset) if opt.enable_lidar else [],
             use_checkpoint=opt.ckpt,
             ema_decay=0.95,
+            ckpt_format=opt.ckpt_format,
         )
         if test_dataset.images_lidar is not None and opt.test_eval:
             trainer.evaluate(test_dataset)
@@ -240,6 +248,7 @@ def main():
             ema_decay=0.95,
             use_checkpoint=opt.ckpt,
             eval_interval=opt.eval_interval,
+            ckpt_format=opt.ckpt_format,
         )
         valid_dataset = build_dataset(opt, "val")
 

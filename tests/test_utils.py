@@ -167,3 +167,71 @@ class TestCheckpointRobustness:
         tr2 = Trainer("t", opt, module, workspace=str(tmp_path), ema_decay=0.95,
                       use_checkpoint="latest")
         assert tr2.epoch == 3  # fell back to the intact epoch-3 ckpt
+
+
+class TestOrbaxCheckpoint:
+    def _opt(self):
+        from types import SimpleNamespace
+
+        return SimpleNamespace(
+            alpha_d=1e3, alpha_r=1.0, alpha_i=1.0, alpha_grad_norm=1.0,
+            alpha_spatial=0.1, alpha_tv=1.0, alpha_grad=1e2,
+            depth_loss="l1", depth_grad_loss="l1", intensity_loss="mse",
+            raydrop_loss="mse", spatial_smooth=False, grad_norm_smooth=False,
+            tv_loss=False, grad_loss=False, sobel_grad=False, scale=0.05,
+            num_rays_lidar=64, H_lidar=8, W_lidar=16,
+            intrinsics_lidar=(10.0, 30.0), lr=1e-2, iters=10,
+            num_steps=8, upsample_steps=2, min_near_lidar=0.05, min_near=0.05,
+            bound=1.0, seed=0, max_ray_batch=64, patch_size_lidar=1,
+            change_patch_size_lidar=[1, 1], change_patch_size_epoch=2,
+            dataloader="kitti360", alpha_r_pos=True,
+        )
+
+    def test_orbax_round_trip_and_keep2(self, tmp_path):
+        """Orbax-format ckpts resume exactly (params/opt/rng) and honor keep-2."""
+        import numpy as np
+        import jax
+        from lidarnerf_tpu.models.network import NeRFNetwork
+        from lidarnerf_tpu.nerf.trainer import Trainer
+
+        opt = self._opt()
+        module = NeRFNetwork(desired_resolution=32, log2_hashmap_size=8, num_levels=2)
+        tr = Trainer("t", opt, module, workspace=str(tmp_path), ema_decay=0.95,
+                     use_checkpoint="scratch", ckpt_format="orbax")
+        for ep in (1, 2, 3):
+            tr.epoch = ep
+            tr.global_step = ep * 7
+            tr.save_checkpoint(full=True)
+        ckpts = sorted((tmp_path / "checkpoints").glob("t_ep*.ckpt"))
+        assert len(ckpts) == 2  # keep-2 ring removed the epoch-1 directory
+        assert all(p.is_dir() for p in ckpts)
+
+        tr2 = Trainer("t", opt, module, workspace=str(tmp_path), ema_decay=0.95,
+                      use_checkpoint="latest", ckpt_format="orbax")
+        assert tr2.epoch == 3 and tr2.global_step == 21
+        for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(tr.opt_state), jax.tree.leaves(tr2.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(tr.rng), np.asarray(tr2.rng))
+
+    def test_orbax_incomplete_dir_falls_back(self, tmp_path):
+        """A half-written orbax dir (no arrays store) is skipped on resume."""
+        import shutil
+        from lidarnerf_tpu.models.network import NeRFNetwork
+        from lidarnerf_tpu.nerf.trainer import Trainer
+
+        opt = self._opt()
+        module = NeRFNetwork(desired_resolution=32, log2_hashmap_size=8, num_levels=2)
+        tr = Trainer("t", opt, module, workspace=str(tmp_path), ema_decay=0.95,
+                     use_checkpoint="scratch", ckpt_format="orbax")
+        tr.epoch = 3
+        tr.save_checkpoint(full=True)
+        tr.epoch = 4
+        tr.save_checkpoint(full=True)
+        latest = sorted((tmp_path / "checkpoints").glob("t_ep*.ckpt"))[-1]
+        shutil.rmtree(latest / "arrays")  # simulate crash mid-save
+
+        tr2 = Trainer("t", opt, module, workspace=str(tmp_path), ema_decay=0.95,
+                      use_checkpoint="latest", ckpt_format="orbax")
+        assert tr2.epoch == 3
