@@ -21,7 +21,6 @@ point clouds — but the hot path is different by design:
 
 import glob
 import os
-import pickle
 import time
 
 import numpy as np

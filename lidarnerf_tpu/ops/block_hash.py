@@ -290,7 +290,6 @@ block_hash_encode.defvjp(_encode_fwd, _encode_bwd)
 
 
 def _on_tpu():
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    from lidarnerf_tpu.ops.dispatch import on_tpu
+
+    return on_tpu()

@@ -26,10 +26,9 @@ CHUNK = 1024
 
 
 def _on_tpu():
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    from lidarnerf_tpu.ops.dispatch import on_tpu
+
+    return on_tpu()
 
 
 def _make_kernel(n_layers, final_activation):

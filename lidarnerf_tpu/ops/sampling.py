@@ -123,8 +123,9 @@ def sort_merge_z(z_coarse, z_fine, *extras):
     cost 3x what one fused 17-wide gather does — fwd and bwd.
 
     On TPU the gather runs as an MXU one-hot matmul (ops/perm_gather_pallas)
-    — ~25x faster than the XLA gather unit at training scale, exact to
-    ~2^-22 via 3-way bf16 channel splitting; elsewhere it falls back to
+    — ~25x faster than the XLA gather unit at training scale, and bit-exact:
+    each fp32 value is split into four 8-bit bit-pattern planes that pass
+    through the bf16 MXU losslessly; elsewhere it falls back to
     `take_along_axis` with the inverse-permutation VJP.
 
     Args:
@@ -148,7 +149,9 @@ def sort_merge_z(z_coarse, z_fine, *extras):
         chans.append(merged)
         splits.append(merged.shape[-1])
     fused = jnp.concatenate(chans, axis=-1)  # [N, S, 1 + sum(C_i)]
-    if jax.default_backend() == "tpu":
+    from lidarnerf_tpu.ops.dispatch import on_tpu
+
+    if on_tpu():
         from lidarnerf_tpu.ops.perm_gather_pallas import mxu_permutation_gather
 
         sorted_fused = mxu_permutation_gather(fused, inv_order)

@@ -28,10 +28,6 @@ import numpy as np
 _ARRAY_KEYS = ("model", "ema", "optimizer", "rng")
 
 
-def _is_array_leaf(x):
-    return isinstance(x, (np.ndarray, np.generic, float, int, bool))
-
-
 def dump_state(state, path, fmt="pickle"):
     """Atomically persist ``state`` (a Trainer state dict) at ``path``."""
     if fmt == "pickle":
@@ -63,13 +59,29 @@ def _dump_orbax(state, path):
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(store, {str(i): np.asarray(x) for i, x in enumerate(leaves)})
 
+    # os.replace cannot atomically swap a non-empty directory, so when
+    # overwriting (best-ckpt path, or re-saving an epoch after resume) the old
+    # checkpoint is moved aside first: a crash between the two renames leaves
+    # a readable ".old" copy instead of losing the only checkpoint.
+    old = path + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    elif os.path.isfile(old):
+        os.remove(old)
+    had_old = False
     if os.path.isdir(path) or os.path.isfile(path):
-        shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+        os.replace(path, old)
+        had_old = True
     os.replace(tmp, path)
+    if had_old:
+        shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
 
 
 def load_state(path):
     """Load a checkpoint written by ``dump_state`` (either format)."""
+    if not os.path.exists(path) and os.path.exists(path + ".old"):
+        # crash landed between the two renames of an orbax overwrite
+        path = path + ".old"
     if os.path.isdir(path):
         return _load_orbax(path)
     with open(path, "rb") as f:

@@ -235,3 +235,23 @@ class TestOrbaxCheckpoint:
         tr2 = Trainer("t", opt, module, workspace=str(tmp_path), ema_decay=0.95,
                       use_checkpoint="latest", ckpt_format="orbax")
         assert tr2.epoch == 3
+
+    def test_orbax_overwrite_is_crash_safe(self, tmp_path):
+        """Overwriting a ckpt never deletes-before-rename; .old recovers."""
+        import os
+        import numpy as np
+        from lidarnerf_tpu.utils import checkpoint_io
+
+        path = str(tmp_path / "best.ckpt")
+        a = {"epoch": 1, "model": {"w": np.arange(4.0)}}
+        b = {"epoch": 2, "model": {"w": np.arange(4.0) * 2}}
+        checkpoint_io.dump_state(a, path, fmt="orbax")
+        checkpoint_io.dump_state(b, path, fmt="orbax")  # overwrite in place
+        assert checkpoint_io.load_state(path)["epoch"] == 2
+        assert not os.path.exists(path + ".old")  # cleaned up after swap
+
+        # simulate a crash landing between the two renames: only .old exists
+        os.replace(path, path + ".old")
+        state = checkpoint_io.load_state(path)
+        assert state["epoch"] == 2
+        np.testing.assert_array_equal(state["model"]["w"], b["model"]["w"])
