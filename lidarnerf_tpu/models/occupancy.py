@@ -1,0 +1,132 @@
+"""Occupancy-prior ray sampling: the TPU-native answer to the reference's
+density grid.
+
+The reference maintains a 128^3 ``density_grid`` + bitfield and uses it to
+*compact* samples per ray with variable counts
+(/root/reference/lidarnerf/raymarching/src/raymarching.cu
+kernel_march_rays_train:332-575) — irregular shapes that are hostile to XLA.
+This module keeps the same prior (an EMA-max-decayed coarse density grid,
+refreshed from the live field like torch-ngp's ``update_extra_state``) but
+uses it to **reweight a static-shape stratified CDF**: every ray still carries
+exactly ``num_steps`` coarse samples, they are just drawn from a
+piecewise-constant PDF that concentrates on occupied bins instead of
+uniformly. SURVEY.md §6 notes most of the reference's 768 uniform samples land
+in empty space; at equal quality this lets ``num_steps`` drop 3-4x, which
+multiplies training throughput (the encoder's row-fetch cost is linear in
+sample count).
+
+Mechanics per ray:
+  1. ``bins`` uniform depth bins over [near, far]; nearest-cell grid lookup at
+     each bin midpoint.
+  2. binary occupancy vs ``min(mean(grid), density_thresh)`` — the exact
+     threshold law of the reference's bitfield packing (raymarching.py
+     packbits call sites).
+  3. PDF = (1 - floor) * normalized_occupancy + floor * uniform. The uniform
+     floor keeps every region explorable: the grid refresh queries the field
+     directly, so density that (re)appears anywhere is re-marked within one
+     update interval even if sampling rarely visits it.
+  4. ``num_steps`` samples by inverse-CDF with *stratified monotone* u — the
+     output depths come out sorted, so the downstream importance upsampling /
+     sort-merge / compositing pipeline is unchanged.
+
+Cold start needs no special casing: a zero grid gives an all-zero bitfield and
+the PDF degenerates to uniform — exactly the parity-mode stratified sampler.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class OccConfig:
+    grid_size: int = 128
+    decay: float = 0.95  # torch-ngp update_extra_state decay law
+    update_interval: int = 16  # steps between grid refreshes
+    density_thresh: float = 10.0  # reference --density_thresh default
+    floor: float = 0.05  # uniform mixture fraction of the sampling PDF
+    bins: int = 128  # per-ray CDF bins
+
+
+def init_occ_grid(cfg: OccConfig) -> jnp.ndarray:
+    return jnp.zeros((cfg.grid_size,) * 3, jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("module", "cfg", "bound"))
+def update_occ_grid(module, params, grid, key, cfg: OccConfig, bound: float):
+    """EMA-max refresh from the current field.
+
+    grid <- max(grid * decay, sigma(jittered cell point)) — the same law as
+    the reference's update_extra_state; querying the field directly (rather
+    than accumulating visited samples) means occupancy recovers even in
+    regions the sampler currently avoids.
+    """
+    G = cfg.grid_size
+    idx = jnp.arange(G, dtype=jnp.float32)
+    ii, jj, kk = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    cell = jnp.stack([ii, jj, kk], axis=-1)  # [G,G,G,3]
+    u = jax.random.uniform(key, (G, G, G, 3), dtype=jnp.float32)
+    x = -bound + (cell + u) * (2.0 * bound / G)
+    sigma, _ = module.apply(params, x.reshape(-1, 3), method=module.density)
+    sigma = sigma.reshape(G, G, G).astype(jnp.float32)
+    return jnp.maximum(grid * cfg.decay, sigma)
+
+
+def occ_bin_pdf(grid, rays_o, rays_d, nears, fars, cfg: OccConfig, bound: float):
+    """[N, bins] piecewise-constant sampling PDF along each ray."""
+    G = cfg.grid_size
+    K = cfg.bins
+    t = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+    z = nears + (fars - nears) * t[None, :]  # [N, K] bin midpoints
+    x = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    gi = jnp.clip(
+        jnp.floor((x + bound) * (G / (2.0 * bound))).astype(jnp.int32), 0, G - 1
+    )
+    flat = (gi[..., 0] * G + gi[..., 1]) * G + gi[..., 2]  # [N, K]
+    occ = jnp.take(grid.reshape(-1), flat)
+    thresh = jnp.minimum(jnp.mean(grid), cfg.density_thresh)
+    occ_b = (occ > thresh).astype(jnp.float32)
+    w = occ_b + 1e-8  # all-empty rays degrade to uniform
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    return (1.0 - cfg.floor) * pdf + cfg.floor / K
+
+
+def occ_z_vals(key, nears, fars, pdf, num_steps: int, perturb: bool):
+    """Draw sorted depths from the per-ray bin PDF by stratified inverse-CDF.
+
+    Stratified monotone u (one draw per 1/num_steps stratum) keeps the output
+    sorted — the property the downstream sort-merge relies on — and gives
+    lower-variance coverage than i.i.d. uniform u. With a uniform PDF the
+    deterministic path (perturb=False, u = inclusive linspace) reproduces the
+    parity-mode stratified law (renderer.py:149-161) *exactly*, so eval
+    renders are bitwise-stable across cold start.
+    """
+    N, K = pdf.shape
+    if perturb:
+        xi = jax.random.uniform(key, (N, num_steps), dtype=jnp.float32)
+        u = (jnp.arange(num_steps, dtype=jnp.float32)[None, :] + xi) / num_steps
+    else:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, num_steps, dtype=jnp.float32)[None, :],
+            (N, num_steps),
+        )
+
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [N, K+1]
+    # bin edges uniform in [near, far]
+    edges = nears + (fars - nears) * jnp.linspace(0.0, 1.0, K + 1, dtype=jnp.float32)
+
+    # batched searchsorted(right) as compare-sum (see ops/sampling.sample_pdf)
+    inds = jnp.sum(cdf[:, :, None] <= u[:, None, :], axis=1).astype(jnp.int32)
+    below = jnp.clip(inds - 1, 0, K - 1)
+    above = below + 1
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    edge_b = jnp.take_along_axis(edges, below, axis=-1)
+    edge_a = jnp.take_along_axis(edges, above, axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-12, 1.0, cdf_a - cdf_b)
+    frac = jnp.clip((u - cdf_b) / denom, 0.0, 1.0)
+    return edge_b + frac * (edge_a - edge_b)

@@ -26,6 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from lidarnerf_tpu.models.occupancy import OccConfig, occ_bin_pdf, occ_z_vals
 from lidarnerf_tpu.ops.sampling import sample_pdf, sort_merge_z, stratified_z_vals
 from lidarnerf_tpu.ops.compositing import composite_weights
 
@@ -42,6 +43,10 @@ class RenderConfig:
     weight_mask_thresh: float = 1e-4
     far_mult: float = 81.0  # renderer.py:137 hard-coded far = 81 * min_near_lidar
     bg_radius: float = -1.0  # >0 enables the background sphere model (RGB mode)
+    # occupancy-prior sampling (models/occupancy.py): when set AND an occ_grid
+    # array is passed to render_rays, the coarse samples are drawn from the
+    # occupancy-reweighted CDF instead of uniformly — the --fast path.
+    occ: OccConfig = None
 
 
 def sph_from_ray(rays_o, rays_d, radius):
@@ -76,7 +81,9 @@ def near_far_from_aabb(rays_o, rays_d, aabb_min, aabb_max, min_near):
 
 
 @partial(jax.jit, static_argnames=("module", "cfg", "train"))
-def render_rays(module, params, rays_o, rays_d, key, cfg: RenderConfig, train: bool):
+def render_rays(
+    module, params, rays_o, rays_d, key, cfg: RenderConfig, train: bool, occ_grid=None
+):
     """Render a flat batch of rays.
 
     Args:
@@ -86,6 +93,9 @@ def render_rays(module, params, rays_o, rays_d, key, cfg: RenderConfig, train: b
         key: PRNG key (perturb + importance sampling randomness when train).
         cfg: static RenderConfig.
         train: static; enables perturb and stochastic PDF sampling.
+        occ_grid: optional [G,G,G] occupancy grid (models/occupancy.py). When
+            given together with cfg.occ, the coarse samples are drawn from the
+            occupancy-reweighted CDF instead of uniformly.
 
     Returns:
         dict(depth [N], image [N, out_dim], weights_sum [N])
@@ -103,7 +113,11 @@ def render_rays(module, params, rays_o, rays_d, key, cfg: RenderConfig, train: b
         nears, fars = near_far_from_aabb(rays_o, rays_d, aabb_min, aabb_max, cfg.min_near)
 
     k_strat, k_pdf = jax.random.split(key)
-    z_vals = stratified_z_vals(k_strat, nears, fars, cfg.num_steps, perturb=train)
+    if cfg.occ is not None and occ_grid is not None:
+        pdf = occ_bin_pdf(occ_grid, rays_o, rays_d, nears, fars, cfg.occ, cfg.bound)
+        z_vals = occ_z_vals(k_strat, nears, fars, pdf, cfg.num_steps, perturb=train)
+    else:
+        z_vals = stratified_z_vals(k_strat, nears, fars, cfg.num_steps, perturb=train)
     sample_dist = (fars - nears) / cfg.num_steps  # [N, 1]
 
     def query_density(z):
@@ -163,7 +177,9 @@ def render_rays(module, params, rays_o, rays_d, key, cfg: RenderConfig, train: b
 
 
 @partial(jax.jit, static_argnames=("module", "cfg", "chunk"))
-def render_rays_staged(module, params, rays_o, rays_d, cfg: RenderConfig, chunk: int = 4096):
+def render_rays_staged(
+    module, params, rays_o, rays_d, cfg: RenderConfig, chunk: int = 4096, occ_grid=None
+):
     """Full-image inference rendering in fixed-size chunks (renderer.py:317-340).
 
     rays_o/rays_d: [N, 3]; N is padded up to a multiple of `chunk` and the
@@ -180,7 +196,7 @@ def render_rays_staged(module, params, rays_o, rays_d, cfg: RenderConfig, chunk:
 
     def one(chunk_rays):
         o, d = chunk_rays
-        out = render_rays(module, params, o, d, dummy_key, cfg, False)
+        out = render_rays(module, params, o, d, dummy_key, cfg, False, occ_grid)
         return out["depth"], out["image"], out["weights_sum"]
 
     depth, image, wsum = jax.lax.map(one, (ro, rd))

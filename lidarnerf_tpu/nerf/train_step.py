@@ -205,7 +205,7 @@ def make_train_step(
     optimizer = make_optimizer(cfg)
     patch_tuple = tuple(patch_size) if not isinstance(patch_size, int) else patch_size
 
-    def loss_fn(params, pose, image_flat, valid_idx_f, valid_count_f, key):
+    def loss_fn(params, pose, image_flat, valid_idx_f, valid_count_f, key, occ_grid):
         k_pix, k_render = jax.random.split(key)
         if masked_sampling:
             draws = jax.random.randint(k_pix, (N,), 0, valid_count_f)
@@ -215,7 +215,9 @@ def make_train_step(
         gt = jnp.take(image_flat, inds, axis=0)  # [N, 3]
         rays_o, rays_d = rays_from_indices(pose, inds, H, W, cfg.intrinsics_lidar)
 
-        out = render_rays(module, params, rays_o, rays_d, k_render, render_cfg, True)
+        out = render_rays(
+            module, params, rays_o, rays_d, k_render, render_cfg, True, occ_grid
+        )
         lidar_loss, pred_depth_m, gt_depth, gt_raydrop = lidar_losses(
             cfg, out["depth"], out["image"], gt
         )
@@ -229,14 +231,23 @@ def make_train_step(
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(
-        params, opt_state, poses, images, valid_idx, valid_counts, frame_idx, key, step
+        params,
+        opt_state,
+        poses,
+        images,
+        valid_idx,
+        valid_counts,
+        frame_idx,
+        key,
+        step,
+        occ_grid=None,
     ):
         pose = jnp.take(poses, frame_idx, axis=0)
         image_flat = jnp.take(images, frame_idx, axis=0).reshape(-1, images.shape[-1])
         vi = jnp.take(valid_idx, frame_idx, axis=0)
         vc = jnp.take(valid_counts, frame_idx, axis=0)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, pose, image_flat, vi, vc, key
+            params, pose, image_flat, vi, vc, key, occ_grid
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

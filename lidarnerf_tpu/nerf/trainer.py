@@ -115,6 +115,19 @@ class Trainer:
             lr=opt.lr,
             iters=opt.iters,
         )
+        # occupancy-prior sampling (--occ_sampling / --fast): the TPU-native
+        # density_grid (models/occupancy.py) reweights the coarse sampling CDF
+        occ_cfg = None
+        if getattr(opt, "occ_sampling", False):
+            from lidarnerf_tpu.models.occupancy import OccConfig
+
+            occ_cfg = OccConfig(
+                grid_size=getattr(opt, "occ_grid_size", 128),
+                update_interval=getattr(opt, "occ_update_interval", 16),
+                density_thresh=getattr(opt, "density_thresh", 10.0),
+                floor=getattr(opt, "occ_floor", 0.05),
+                bins=getattr(opt, "occ_bins", 128),
+            )
         self.render_cfg = RenderConfig(
             num_steps=opt.num_steps,
             upsample_steps=opt.upsample_steps,
@@ -122,7 +135,13 @@ class Trainer:
             min_near=opt.min_near,
             density_scale=1.0,
             bound=opt.bound,
+            occ=occ_cfg,
         )
+        self.occ_grid = None
+        if occ_cfg is not None:
+            from lidarnerf_tpu.models.occupancy import init_occ_grid
+
+            self.occ_grid = init_occ_grid(occ_cfg)
 
         # model/optimizer state
         key = jax.random.PRNGKey(getattr(opt, "seed", 0))
@@ -352,7 +371,20 @@ class Trainer:
         total_loss = 0.0
         pending = []
         t0 = time.perf_counter()
+        occ_cfg = self.render_cfg.occ
         for frame_idx in order:
+            if occ_cfg is not None and self.global_step % occ_cfg.update_interval == 0:
+                from lidarnerf_tpu.models.occupancy import update_occ_grid
+
+                self.rng, sub_occ = jax.random.split(self.rng)
+                self.occ_grid = update_occ_grid(
+                    self.module,
+                    self.params,
+                    self.occ_grid,
+                    sub_occ,
+                    occ_cfg,
+                    self.render_cfg.bound,
+                )
             self.local_step += 1
             self.global_step += 1
             self.rng, sub = jax.random.split(self.rng)
@@ -366,6 +398,7 @@ class Trainer:
                 int(frame_idx),
                 sub,
                 self.global_step - 1,
+                occ_grid=self.occ_grid,
             )
             pending.append(m)
 
@@ -415,6 +448,7 @@ class Trainer:
             rays["rays_d"][0],
             self.render_cfg,
             chunk=self.opt.max_ray_batch,
+            occ_grid=self.occ_grid,
         )
         image = np.asarray(out["image"]).reshape(H, W, -1)
         depth = np.asarray(out["depth"]).reshape(H, W)
@@ -666,6 +700,11 @@ class Trainer:
         state["model"] = jax.device_get(self.params)
         if self.ema_params is not None:
             state["ema"] = jax.device_get(self.ema_params)
+        if self.occ_grid is not None:
+            # sampling prior travels with the model (reference stores
+            # density_grid in its ckpt too, dropped only for "best":
+            # utils.py:1481-1506); eval-only flows never refresh it
+            state["occ_grid"] = np.asarray(jax.device_get(self.occ_grid))
         if full:
             state["optimizer"] = jax.device_get(self.opt_state)
         return state
@@ -735,6 +774,8 @@ class Trainer:
         self.log("[INFO] loaded model.")
         if self.ema_params is not None and "ema" in ckpt:
             self.ema_params = to_device(ckpt["ema"])
+        if self.occ_grid is not None and "occ_grid" in ckpt:
+            self.occ_grid = jnp.asarray(ckpt["occ_grid"])
         if model_only:
             return
 

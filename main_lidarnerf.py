@@ -115,6 +115,25 @@ def get_arg_parser():
     parser.add_argument("--max_ray_batch", type=int, default=4096)
     parser.add_argument("--patch_size", type=int, default=1)
 
+    # occupancy-prior sampling (TPU-native density_grid; models/occupancy.py)
+    parser.add_argument(
+        "--occ_sampling",
+        action="store_true",
+        help="draw coarse samples from an occupancy-reweighted CDF instead of "
+        "uniformly (static-shape equivalent of the reference's density-grid "
+        "ray marching, raymarching.cu:332-575)",
+    )
+    parser.add_argument("--occ_grid_size", type=int, default=128)
+    parser.add_argument("--occ_update_interval", type=int, default=16)
+    parser.add_argument("--occ_floor", type=float, default=0.05)
+    parser.add_argument("--occ_bins", type=int, default=128)
+    parser.add_argument(
+        "--fast",
+        action="store_true",
+        help="macro: --occ_sampling + num_steps 192 (4x fewer coarse samples "
+        "at matched quality; see docs/occ_sampling.md)",
+    )
+
     # network backbone
     parser.add_argument("--fp16", action="store_true")
     parser.add_argument("--tcnn", action="store_true")
@@ -199,6 +218,10 @@ def main():
         opt.fp16 = True
         opt.tcnn = True
         opt.preload = True
+
+    if opt.fast:
+        opt.occ_sampling = True
+        opt.num_steps = min(opt.num_steps, 192)
 
     opt.min_near = opt.scale  # main_lidarnerf.py:286-287
     opt.min_near_lidar = opt.scale
