@@ -27,8 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from lidarnerf_tpu.models.occupancy import OccConfig, occ_bin_pdf, occ_z_vals
-from lidarnerf_tpu.ops.sampling import sample_pdf, sort_merge_z, stratified_z_vals
-from lidarnerf_tpu.ops.compositing import composite_weights
+from lidarnerf_tpu.ops.sampling import sample_pdf, stratified_z_vals
+from lidarnerf_tpu.ops.compositing import composite_weights, merged_composite_weights
 
 
 @dataclass(frozen=True)
@@ -128,6 +128,22 @@ def render_rays(
 
     _, sigmas, geo_feats = query_density(z_vals)  # [N,T], [N,T,G]
 
+    # encode directions once per ray (constant along the ray), broadcast over
+    # samples — saves 832x the sin/cos work of per-sample encoding
+    d_enc = module.apply(
+        params, rays_d, cfg.cal_lidar_color, method=module.encode_dir
+    )  # [N, E]
+
+    def colors(geo, weights):
+        """Per-sample colors, zeroed where weights <= 1e-4 (renderer.py:249-256)."""
+        d_enc_b = jnp.broadcast_to(
+            d_enc[:, None, :], geo.shape[:-1] + (d_enc.shape[-1],)
+        )
+        rgbs = module.apply(
+            params, d_enc_b, geo, cfg.cal_lidar_color, method=module.color_from_enc
+        )  # [N, S, out]
+        return jnp.where((weights > cfg.weight_mask_thresh)[..., None], rgbs, 0.0)
+
     if cfg.upsample_steps > 0:
         # importance sampling on detached coarse weights (renderer.py:179-214)
         w_coarse = composite_weights(
@@ -138,31 +154,28 @@ def render_rays(
         new_z = sample_pdf(
             k_pdf, z_mid, w_coarse[:, 1:-1], cfg.upsample_steps, det=not train
         )
-        new_z = jax.lax.stop_gradient(new_z)
+        # sorting within the fine list preserves the sample set; the merged
+        # compositing below only needs each list sorted, never the merge
+        new_z = jnp.sort(jax.lax.stop_gradient(new_z), axis=-1)
         _, new_sigmas, new_geo = query_density(new_z)
 
-        z_vals, _, sigmas, geo_feats = sort_merge_z(
-            z_vals, new_z, (sigmas, new_sigmas), (geo_feats, new_geo)
+        # order-free compositing over the two sorted lists: no argsort, no
+        # permutation gather of the 17-wide (z, sigma, geo) rows
+        weights, new_weights = merged_composite_weights(
+            z_vals, sigmas, new_z, new_sigmas, sample_dist, cfg.density_scale
         )
-
-    weights = composite_weights(sigmas, z_vals, sample_dist, cfg.density_scale)  # [N,S]
-
-    # encode directions once per ray (constant along the ray), broadcast over
-    # samples — saves 832x the sin/cos work of per-sample encoding
-    d_enc = module.apply(
-        params, rays_d, cfg.cal_lidar_color, method=module.encode_dir
-    )  # [N, E]
-    d_enc_b = jnp.broadcast_to(d_enc[:, None, :], z_vals.shape + (d_enc.shape[-1],))
-    rgbs = module.apply(
-        params, d_enc_b, geo_feats, cfg.cal_lidar_color, method=module.color_from_enc
-    )  # [N, S, out]
-    # reference zeroes colors where weights <= 1e-4 (renderer.py:249-256)
-    mask = weights > cfg.weight_mask_thresh
-    rgbs = jnp.where(mask[..., None], rgbs, 0.0)
-
-    weights_sum = jnp.sum(weights, axis=-1)
-    depth = jnp.sum(weights * z_vals, axis=-1)
-    image = jnp.sum(weights[..., None] * rgbs, axis=-2)
+        weights_sum = jnp.sum(weights, axis=-1) + jnp.sum(new_weights, axis=-1)
+        depth = jnp.sum(weights * z_vals, axis=-1) + jnp.sum(
+            new_weights * new_z, axis=-1
+        )
+        image = jnp.sum(
+            weights[..., None] * colors(geo_feats, weights), axis=-2
+        ) + jnp.sum(new_weights[..., None] * colors(new_geo, new_weights), axis=-2)
+    else:
+        weights = composite_weights(sigmas, z_vals, sample_dist, cfg.density_scale)
+        weights_sum = jnp.sum(weights, axis=-1)
+        depth = jnp.sum(weights * z_vals, axis=-1)
+        image = jnp.sum(weights[..., None] * colors(geo_feats, weights), axis=-2)
 
     if not cfg.cal_lidar_color:
         if cfg.bg_radius > 0:

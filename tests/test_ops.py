@@ -241,6 +241,91 @@ class TestCompositing:
         assert w[0, 11:].sum() < 1e-3
 
 
+class TestMergedCompositing:
+    """merged_composite_weights == sort-merge + composite_weights, split back."""
+
+    def _oracle(self, zA, sigA, zB, sigB, sd):
+        z = np.concatenate([zA, zB], axis=1)
+        sig = np.concatenate([sigA, sigB], axis=1)
+        order = np.argsort(z, axis=1, kind="stable")  # ties: A before B
+        zs = np.take_along_axis(z, order, axis=1)
+        ss = np.take_along_axis(sig, order, axis=1)
+        w_sorted = np.asarray(
+            composite_weights(jnp.array(ss), jnp.array(zs), jnp.array(sd))
+        )
+        w = np.empty_like(w_sorted)
+        np.put_along_axis(w, order, w_sorted, axis=1)
+        return w[:, : zA.shape[1]], w[:, zA.shape[1] :]
+
+    def test_matches_sorted_oracle(self):
+        from lidarnerf_tpu.ops.compositing import merged_composite_weights
+
+        rng = np.random.RandomState(1)
+        zA = np.sort(rng.rand(8, 48).astype(np.float32) * 2, axis=1)
+        zB = np.sort(rng.rand(8, 16).astype(np.float32) * 2, axis=1)
+        sigA = (rng.rand(8, 48) * 20).astype(np.float32)
+        sigB = (rng.rand(8, 16) * 20).astype(np.float32)
+        sd = np.full((8, 1), 2.0 / 48, np.float32)
+        wA, wB = merged_composite_weights(
+            jnp.array(zA), jnp.array(sigA), jnp.array(zB), jnp.array(sigB), jnp.array(sd)
+        )
+        oA, oB = self._oracle(zA, sigA, zB, sigB, sd)
+        np.testing.assert_allclose(np.asarray(wA), oA, rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(wB), oB, rtol=2e-4, atol=1e-6)
+
+    def test_exact_ties_across_lists(self):
+        """Duplicated depths across lists: tie order is A-before-B (stable)."""
+        from lidarnerf_tpu.ops.compositing import merged_composite_weights
+
+        zA = np.array([[0.2, 0.5, 0.5, 1.0]], np.float32)
+        zB = np.array([[0.5, 1.0]], np.float32)
+        sigA = np.array([[3.0, 8.0, 2.0, 5.0]], np.float32)
+        sigB = np.array([[6.0, 1.0]], np.float32)
+        sd = np.full((1, 1), 0.25, np.float32)
+        wA, wB = merged_composite_weights(
+            jnp.array(zA), jnp.array(sigA), jnp.array(zB), jnp.array(sigB), jnp.array(sd)
+        )
+        oA, oB = self._oracle(zA, sigA, zB, sigB, sd)
+        np.testing.assert_allclose(np.asarray(wA), oA, rtol=2e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(wB), oB, rtol=2e-4, atol=1e-7)
+
+    def test_grad_matches_oracle(self):
+        """d w / d sigma agrees with autodiff through the sort-merge oracle."""
+        from lidarnerf_tpu.ops.compositing import merged_composite_weights
+
+        rng = np.random.RandomState(3)
+        zA = np.sort(rng.rand(2, 12).astype(np.float32), axis=1)
+        zB = np.sort(rng.rand(2, 4).astype(np.float32), axis=1)
+        sigA = (rng.rand(2, 12) * 10).astype(np.float32)
+        sigB = (rng.rand(2, 4) * 10).astype(np.float32)
+        sd = np.full((2, 1), 1 / 12, np.float32)
+        cotA = rng.rand(2, 12).astype(np.float32)
+        cotB = rng.rand(2, 4).astype(np.float32)
+
+        def f_merged(sA, sB):
+            wA, wB = merged_composite_weights(
+                jnp.array(zA), sA, jnp.array(zB), sB, jnp.array(sd)
+            )
+            return jnp.sum(wA * cotA) + jnp.sum(wB * cotB)
+
+        def f_oracle(sA, sB):
+            z = jnp.concatenate([jnp.array(zA), jnp.array(zB)], axis=1)
+            sig = jnp.concatenate([sA, sB], axis=1)
+            order = jnp.argsort(z, axis=1, stable=True)
+            zs = jnp.take_along_axis(z, order, axis=1)
+            ss = jnp.take_along_axis(sig, order, axis=1)
+            w_sorted = composite_weights(ss, zs, jnp.array(sd))
+            cot = jnp.take_along_axis(
+                jnp.concatenate([cotA, cotB], axis=1), order, axis=1
+            )
+            return jnp.sum(w_sorted * cot)
+
+        gA, gB = jax.grad(f_merged, argnums=(0, 1))(jnp.array(sigA), jnp.array(sigB))
+        oA, oB = jax.grad(f_oracle, argnums=(0, 1))(jnp.array(sigA), jnp.array(sigB))
+        np.testing.assert_allclose(np.asarray(gA), np.asarray(oA), rtol=3e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gB), np.asarray(oB), rtol=3e-4, atol=1e-6)
+
+
 class TestChamfer:
     def test_vs_scipy_kdtree(self):
         from scipy.spatial import cKDTree
