@@ -6,12 +6,18 @@ level's 4MB table block resident in VMEM:
 - forward: phase 1 is a manually-unrolled scalar loop fetching each query's
   128-float block row from VMEM (~144M rows/s — ~100x XLA's gather on this
   layout); phase 2 contracts the fetched rows with the trilinear lane-weight
-  rows fully vectorised on the VPU and writes only 2 features per query.
+  rows and reduces the 128 lanes to the 2 per-level features on the MXU via
+  a split-bf16 (hi + lo residual) matmul against a static even/odd selector
+  — bit-accurate to ~5e-6 relative and ~12ms/step faster than the VPU
+  where-mask reduction it replaced.
 - backward: builds the [CHUNK, 128] gradient rows in-register from the
-  upstream feature grads, then accumulates them into SHARDS=8 interleaved
-  VMEM copies of the level's gradient table (the sharding breaks the
-  store-to-load RMW hazard chain that otherwise serialises the loop:
-  20 -> 133M rows/s measured); the shards are summed by XLA afterwards.
+  upstream feature grads (same split-bf16 MXU trick to spread the 2 feature
+  grads across the 128 lanes), then accumulates them into SHARDS=6
+  interleaved VMEM copies of the level's gradient table (the sharding breaks
+  the store-to-load RMW hazard chain that otherwise serialises the loop); the
+  shards are summed by XLA afterwards. SHARDS=6 does not divide CHUNK, so a
+  statically-unrolled 4-row tail finishes each chunk (measured: S4 303ms ->
+  S6 261ms on the KITTI step; S8 OOMs VMEM at compile).
 
 Layout notes (learned the hard way): HBM-visible operands keep the QUERY axis
 minor — f32[L, Qp, 8]-style arrays are tile-padded T(8,128) by XLA (16-64x
@@ -34,7 +40,39 @@ from lidarnerf_tpu.ops import block_hash as bh
 
 CHUNK = 4096
 UNROLL = 8
-SHARDS = 4  # must divide CHUNK; x2 levels per step doubles hazard distance; 8 OOMs VMEM
+SHARDS = 6  # hazard-chain interleaving width; 8 OOMs VMEM; tail of CHUNK % SHARDS rows is unrolled
+
+
+def _eo_selector(transposed=False):
+    """Static even/odd lane selector matrix for the MXU channel reduction.
+
+    E[j, c] = 1 if lane j holds feature channel c (c = j & 1). Contracting a
+    [CHUNK, 128] lane image with E on the MXU sums each query's even lanes
+    into channel 0 and odd lanes into channel 1; the transpose broadcasts
+    2 per-query feature grads back across the 128 lanes.
+    """
+    if transposed:
+        r = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+        return (r == (c & 1)).astype(jnp.bfloat16)
+    r = jax.lax.broadcasted_iota(jnp.int32, (128, 2), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (128, 2), 1)
+    return ((r & 1) == c).astype(jnp.bfloat16)
+
+
+def _hilo_dot(a, E):
+    """f32 [N, K] @ bf16 selector [K, M] -> f32, via hi + lo-residual bf16 passes.
+
+    Splitting a into bf16 hi and f32-residual-rounded-to-bf16 lo recovers
+    ~2^-22 relative accuracy (measured 5e-6 max rel vs the exact VPU
+    reduction) while keeping both passes on the MXU.
+    """
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(
+        hi, E, dn, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(lo, E, dn, preferred_element_type=jnp.float32)
 
 
 def _prep_inputs(x, spec):
@@ -116,14 +154,12 @@ def _fwd_kernel(idx0_ref, idx1_ref, lf_ref, table_ref, out_ref, rows_scratch):
 
     jax.lax.fori_loop(0, CHUNK // UNROLL, body, 0)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+    E = _eo_selector()
     for lvl in range(2):
         lf = jnp.transpose(lf_ref[lvl], (1, 0))  # [CHUNK, 4]
         W = _lane_weights(lf)  # [CHUNK, 128]
         prod = rows_scratch[lvl] * W
-        even = jnp.where(lane & 1 == 0, prod, 0.0).sum(axis=1)
-        odd = jnp.where(lane & 1 == 1, prod, 0.0).sum(axis=1)
-        feats = jnp.stack([even, odd], axis=-1)  # [CHUNK, 2]
+        feats = _hilo_dot(prod, E)  # [CHUNK, 2] MXU lane reduction
         out_ref[lvl, :, :] = jnp.transpose(feats, (1, 0))  # [2, CHUNK]
 
 
@@ -178,7 +214,7 @@ def _fwd_from_prep(rows, lf, table, Q, spec):
         ),
         out_shape=jax.ShapeDtypeStruct((L, 2, Qp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, CHUNK, 128), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
     )(rows2, rows2, lf, table)
     # [L, 2, Qp] -> [Qp, L*2]
     return jnp.transpose(out, (2, 0, 1)).reshape(Qp, L * 2)[:Q]
@@ -201,13 +237,15 @@ def _bwd_kernel(idx0_ref, idx1_ref, lf_ref, g_ref, grad_ref, rows_scratch):
     def _():
         grad_ref[:] = jnp.zeros_like(grad_ref)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+    ET = _eo_selector(transposed=True)
     for lvl in range(2):
         lf = jnp.transpose(lf_ref[lvl], (1, 0))  # [CHUNK, 4]
         W = _lane_weights(lf)  # [CHUNK, 128]
         g = jnp.transpose(g_ref[lvl], (1, 0))  # [CHUNK, 2]
-        g_lane = jnp.where(lane & 1 == 0, g[:, 0:1], g[:, 1:2])
+        g_lane = _hilo_dot(g, ET)  # [CHUNK, 128] MXU lane broadcast
         rows_scratch[lvl] = W * g_lane
+
+    nbody = CHUNK // SHARDS
 
     def body(b, _):
         q0 = b * SHARDS
@@ -218,7 +256,14 @@ def _bwd_kernel(idx0_ref, idx1_ref, lf_ref, g_ref, grad_ref, rows_scratch):
             grad_ref[u, i1, :] = grad_ref[u, i1, :] + rows_scratch[1, q0 + u, :]
         return 0
 
-    jax.lax.fori_loop(0, CHUNK // SHARDS, body, 0)
+    jax.lax.fori_loop(0, nbody, body, 0)
+    # CHUNK % SHARDS leftover rows, statically unrolled (one per shard copy)
+    for u in range(CHUNK - nbody * SHARDS):
+        q = nbody * SHARDS + u
+        i0 = idx0_ref[q]
+        i1 = idx1_ref[q]
+        grad_ref[u, i0, :] = grad_ref[u, i0, :] + rows_scratch[0, q, :]
+        grad_ref[u, i1, :] = grad_ref[u, i1, :] + rows_scratch[1, q, :]
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
@@ -265,7 +310,7 @@ def _bwd_from_prep(rows, lf, g, spec):
         ),
         out_shape=jax.ShapeDtypeStruct((SHARDS, L * B, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, CHUNK, 128), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
     )(rows2, rows2, lf, g_levels)
     return shards.sum(axis=0)
 

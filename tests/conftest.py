@@ -11,12 +11,20 @@ as long as it happens before the first backend use, which conftest guarantees).
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Escape hatch for TPU-gated kernel tests: LIDARNERF_TPU_TESTS=1 keeps the
+# real backend so test_block_hash_tpu.py (kernel-vs-oracle on hardware) runs.
+# The host-device-count flag must NOT be set in that mode — it hangs the
+# remote-TPU (axon) backend's init.
+_TPU_MODE = os.environ.get("LIDARNERF_TPU_TESTS", "") == "1"
+
+if not _TPU_MODE:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
