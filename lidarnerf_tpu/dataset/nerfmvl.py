@@ -164,7 +164,11 @@ class NeRFMVLDataset:
                 C = images.shape[-1]
                 flat = images.reshape(B, -1, C)
                 mask = flat[:, :, 0] > -1  # [B, HW]
-                # nerfmvl_dataset.py:153-168: filter then subsample to num_rays
+                # nerfmvl_dataset.py:153-168: filter then subsample to num_rays.
+                # The bbox-valid pixel set is per-frame, so a shared `sel`
+                # is only correct for a single frame per batch (SimpleLoader
+                # always uses batch=1, matching the reference's DataLoader).
+                assert B == 1, "MVL collate supports batch=1 only (per-frame mask)"
                 sel = np.nonzero(mask[0])[0]
                 if len(sel) > self.num_rays_lidar:
                     sel = np.random.permutation(sel)[: self.num_rays_lidar]

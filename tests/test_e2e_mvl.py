@@ -132,3 +132,22 @@ def test_mvl_dataset_masked_pools(tmp_path):
     out = ds_test.collate([0])
     assert out["OBB_local"].shape == (8, 4)
     assert out["images_lidar"].shape == (1, H, W, 3)
+
+
+def test_mvl_collate_rejects_batch_gt1(tmp_path):
+    """Training collate uses the first frame's bbox mask for the whole batch,
+    which is only correct at batch=1 (reference nerfmvl_dataset.py:153-168 has
+    the same single-frame assumption via DataLoader batch_size=1)."""
+    data_root = str(tmp_path / "data")
+    write_synthetic_mvl(data_root)
+    from lidarnerf_tpu.dataset.nerfmvl import NeRFMVLDataset
+
+    ds = NeRFMVLDataset(
+        split="train", root_path=data_root, sequence_id="car", scale=0.05
+    )
+    out = ds.collate([0])  # batch=1 works
+    assert out["images_lidar"].shape[0] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="batch=1"):
+        ds.collate([0, 1])

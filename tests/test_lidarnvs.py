@@ -184,3 +184,177 @@ class TestUNetRaydrop:
         assert len(hist) == 1
         assert np.isfinite(hist[0]["loss"])
         assert (tmp_path / "ckpt" / "checkpoint_epoch1.ckpt").exists()
+
+
+def _install_fake_open3d(monkeypatch, radius=8.0):
+    """Numpy-only open3d stand-in covering exactly the API surface meshing.py
+    touches (reference lidarnvs_meshing.py:55-334): PointCloud/KDTreeFlann/
+    Poisson meshing/RaycastingScene. The raycaster intersects the same
+    analytic sphere FakeDataset renders, so predicted panos are comparable
+    to the ground truth."""
+    import sys
+    import types
+
+    o3d = types.ModuleType("open3d")
+    geometry = types.ModuleType("open3d.geometry")
+    utility = types.ModuleType("open3d.utility")
+    core = types.ModuleType("open3d.core")
+    t_mod = types.ModuleType("open3d.t")
+    t_geometry = types.ModuleType("open3d.t.geometry")
+
+    class Vector3dVector:
+        def __init__(self, arr):
+            self.arr = np.asarray(arr, dtype=np.float64)
+
+        def __array__(self, dtype=None, copy=None):
+            return self.arr if dtype is None else self.arr.astype(dtype)
+
+    class PointCloud:
+        def __init__(self):
+            self.points = None
+            self.normals = None
+
+        def estimate_normals(self):
+            pts = np.asarray(self.points)
+            self.normals = Vector3dVector(
+                pts / (np.linalg.norm(pts, axis=1, keepdims=True) + 1e-9)
+            )
+
+    class FakeMesh:
+        def __init__(self, vertices):
+            self.vertices = vertices
+            self.removed_mask = None
+
+        def remove_vertices_by_mask(self, mask):
+            self.removed_mask = np.asarray(mask)
+
+    class TriangleMesh:
+        @staticmethod
+        def create_from_point_cloud_poisson(pcd, depth=8):
+            pts = np.asarray(pcd.points)
+            densities = np.linspace(0.0, 1.0, len(pts))
+            return FakeMesh(pts), densities
+
+    class KDTreeFlann:
+        def __init__(self, pcd):
+            self.pts = np.asarray(pcd.points)
+
+        def search_knn_vector_3d(self, p, k):
+            d = np.linalg.norm(self.pts - np.asarray(p), axis=1)
+            idx = np.argsort(d)[:k]
+            return k, idx.tolist(), (d[idx] ** 2).tolist()
+
+    class _T:
+        def __init__(self, a):
+            self._a = np.asarray(a)
+
+        def numpy(self):
+            return self._a
+
+    class Tensor:
+        def __init__(self, arr):
+            self.arr = np.asarray(arr)
+
+    class RaycastingScene:
+        def add_triangles(self, mesh):
+            self.mesh = mesh
+
+        def cast_rays(self, tensor):
+            rays = np.asarray(tensor.arr)
+            o, d = rays[:, :3], rays[:, 3:]
+            b = 2 * np.sum(o * d, 1)
+            c = np.sum(o * o, 1) - radius * radius
+            disc = b * b - 4 * c
+            t = np.where(disc > 0, (-b + np.sqrt(np.maximum(disc, 0))) / 2, np.inf)
+            t = np.where(t > 1e-6, t, np.inf)
+            hitp = o + d * np.where(np.isfinite(t), t, 0.0)[:, None]
+            normals = -hitp / (np.linalg.norm(hitp, axis=1, keepdims=True) + 1e-9)
+            return {
+                "t_hit": _T(t.astype(np.float32)),
+                "primitive_normals": _T(normals.astype(np.float32)),
+            }
+
+    class TTriangleMesh:
+        @staticmethod
+        def from_legacy(mesh):
+            return mesh
+
+    geometry.PointCloud = PointCloud
+    geometry.TriangleMesh = TriangleMesh
+    geometry.KDTreeFlann = KDTreeFlann
+    utility.Vector3dVector = Vector3dVector
+    utility.Vector3iVector = Vector3dVector
+    core.Tensor = Tensor
+    t_geometry.RaycastingScene = RaycastingScene
+    t_geometry.TriangleMesh = TTriangleMesh
+    t_mod.geometry = t_geometry
+    o3d.geometry = geometry
+    o3d.utility = utility
+    o3d.core = core
+    o3d.t = t_mod
+    monkeypatch.setitem(sys.modules, "open3d", o3d)
+    return o3d
+
+
+class _ConstRaydrop:
+    """Stands in for UNetRaydropTrainer.predict: keep every ray."""
+
+    def predict(self, features):
+        return np.ones(features.shape[:3], dtype=np.float32)
+
+
+class TestMeshingBaselines:
+    def test_poisson_full_flow(self, monkeypatch):
+        """Executes fit -> predict_frame -> predict_frame_with_raydrop ->
+        generate_raydrop_data_meshing (reference lidarnvs_meshing.py:55-435)
+        against the numpy open3d stub."""
+        _install_fake_open3d(monkeypatch)
+        from lidarnerf_tpu.lidarnvs.meshing import (
+            LidarNVSPoisson,
+            generate_raydrop_data_meshing,
+        )
+
+        ds = FakeDataset()
+        nvs = LidarNVSPoisson(depth=11, min_density=0.3, k=3)
+        nvs.fit(ds)
+        # density-quantile filter ran on the fake mesh
+        assert nvs.mesh.removed_mask is not None
+        assert nvs.mesh.removed_mask.mean() == pytest.approx(0.3, abs=0.02)
+
+        pred = nvs.predict_frame(
+            ds.intrinsics_lidar, ds.poses_lidar[0], ds.H_lidar, ds.W_lidar
+        )
+        gt_pano = ds.images_lidar[0][:, :, 2]
+        both = (pred["pano"] > 0) & (gt_pano > 0)
+        assert both.mean() > 0.5
+        # analytic-sphere raycast reproduces the rendered sphere depths
+        assert np.median(np.abs(pred["pano"][both] - gt_pano[both])) < 0.1
+        # kNN intensity interpolation pulled from the constant-0.5 source
+        assert pred["intensities"][both].mean() == pytest.approx(0.5, abs=0.05)
+
+        nvs.raydrop = _ConstRaydrop()
+        pred_rd = nvs.predict_frame_with_raydrop(
+            ds.intrinsics_lidar, ds.poses_lidar[0], ds.H_lidar, ds.W_lidar
+        )
+        np.testing.assert_allclose(pred_rd["pano"], pred["pano"], atol=1e-6)
+
+        data = generate_raydrop_data_meshing(ds, nvs)
+        assert len(data) == len(ds)
+        H, W = ds.H_lidar, ds.W_lidar
+        for d in data:
+            assert d["hit_masks"].shape == (H, W)
+            assert d["hit_normals"].shape == (H, W, 3)
+            assert d["rays_d"].shape == (H, W, 3)
+            assert set(np.unique(d["raydrop_masks"])) <= {0.0, 1.0}
+
+    def test_raydrop_requires_checkpoint(self, monkeypatch):
+        _install_fake_open3d(monkeypatch)
+        from lidarnerf_tpu.lidarnvs.meshing import LidarNVSPoisson
+
+        nvs = LidarNVSPoisson()
+        ds = FakeDataset()
+        nvs.fit(ds)
+        with pytest.raises(RuntimeError, match="ray-drop"):
+            nvs.predict_frame_with_raydrop(
+                ds.intrinsics_lidar, ds.poses_lidar[0], ds.H_lidar, ds.W_lidar
+            )
