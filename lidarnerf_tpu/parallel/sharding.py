@@ -36,6 +36,42 @@ def make_mesh(n_devices=None, devices=None):
     return Mesh(np.array(devices), ("data",))
 
 
+def make_mesh_2d(n_data, n_model, devices=None):
+    """(data, model) mesh: rays shard over `data`, the hash table over `model`.
+
+    The model axis exists for log2_hashmap_size > 21 tables that outgrow a
+    single chip's HBM share (SURVEY §2.6 TP row): the [L*B, 128] table's row
+    axis is level-block-contiguous, so a `model`-axis row sharding splits
+    whole levels across chips and the per-sample cross-chip traffic is the
+    all-gather of 2 features/level — 32 floats/sample — over ICI.
+    """
+    if devices is None:
+        devices = jax.devices()[: n_data * n_model]
+    return Mesh(np.array(devices).reshape(n_data, n_model), ("data", "model"))
+
+
+def _is_table_path(path):
+    return any(getattr(p, "key", getattr(p, "name", None)) == "hash_table" for p in path)
+
+
+def table_shardings(tree, mesh):
+    """Sharding pytree: hash-table leaves row-sharded over `model`, rest replicated.
+
+    Works for params and for optimizer state (adam mu/nu mirror the params
+    dict, so the same path match finds the table moments).
+    """
+    repl = NamedSharding(mesh, P())
+    tab = NamedSharding(mesh, P("model", None))
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: tab if _is_table_path(path) else repl, tree
+    )
+
+
+def shard_params(tree, mesh):
+    """Place params/opt-state on the mesh with the table model-sharded."""
+    return jax.device_put(tree, table_shardings(tree, mesh))
+
+
 def replicate(tree, mesh):
     """Place a pytree fully replicated on every device of the mesh."""
     sharding = NamedSharding(mesh, P())
@@ -55,6 +91,7 @@ def make_sharded_train_step(
     mesh: Mesh,
     patch_size=1,
     masked_sampling: bool = False,
+    shard_table: bool = False,
 ):
     """Data-parallel variant of nerf.train_step.make_train_step.
 
@@ -67,10 +104,13 @@ def make_sharded_train_step(
     """
     H, W = cfg.H_lidar, cfg.W_lidar
     N = cfg.num_rays_lidar
-    if N % mesh.devices.size != 0:
+    n_data = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
+    if N % n_data != 0:
         raise ValueError(
-            f"num_rays_lidar={N} must divide evenly over {mesh.devices.size} devices"
+            f"num_rays_lidar={N} must divide evenly over {n_data} data-axis devices"
         )
+    if shard_table and "model" not in mesh.axis_names:
+        raise ValueError("shard_table=True needs a mesh with a 'model' axis")
     optimizer = make_optimizer(cfg)
     patch_tuple = tuple(patch_size) if not isinstance(patch_size, int) else patch_size
     ray_sharding = NamedSharding(mesh, P("data"))
@@ -103,11 +143,21 @@ def make_sharded_train_step(
 
     repl = NamedSharding(mesh, P())
 
-    @partial(
-        jax.jit,
-        donate_argnums=(0, 1),
-        out_shardings=((repl, repl), repl),
-    )
+    def constrain_table(tree):
+        """Pin hash-table leaves (and their adam moments) to the model axis."""
+        tab = NamedSharding(mesh, P("model", None))
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: jax.lax.with_sharding_constraint(x, tab)
+            if _is_table_path(path)
+            else jax.lax.with_sharding_constraint(x, repl),
+            tree,
+        )
+
+    jit_kwargs = dict(donate_argnums=(0, 1))
+    if not shard_table:
+        jit_kwargs["out_shardings"] = ((repl, repl), repl)
+
+    @partial(jax.jit, **jit_kwargs)
     def step_fn(
         params,
         opt_state,
@@ -120,6 +170,9 @@ def make_sharded_train_step(
         step,
         occ_grid=None,
     ):
+        if shard_table:
+            params = constrain_table(params)
+            opt_state = constrain_table(opt_state)
         pose = jnp.take(poses, frame_idx, axis=0)
         image_flat = jnp.take(images, frame_idx, axis=0).reshape(-1, images.shape[-1])
         vi = jnp.take(valid_idx, frame_idx, axis=0)
@@ -129,6 +182,9 @@ def make_sharded_train_step(
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if shard_table:
+            params = constrain_table(params)
+            opt_state = constrain_table(opt_state)
         return (params, opt_state), {"loss": loss, **aux}
 
     def wrapped(
@@ -139,4 +195,6 @@ def make_sharded_train_step(
         )
         return params, opt_state, metrics
 
+    # exposed for HLO inspection (collective-size scaling tests)
+    wrapped.jitted = step_fn
     return wrapped

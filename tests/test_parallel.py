@@ -148,3 +148,83 @@ def test_trainer_multi_device_integration(tmp_path):
     tr.train_one_epoch(DS(), patch_size=1)
     assert tr._mesh_cache.devices.size == 8
     assert np.isfinite(tr.stats["loss"][-1])
+
+
+def test_dp_grad_allreduce_sizes_in_hlo():
+    """The compiled sharded step's dominant collective must be the hash-table
+    gradient all-reduce (VERDICT r1 #5: measure, don't assume, what crosses
+    the interconnect). The table grad is [rows, 128] f32 per step — far larger
+    than every MLP grad — so exactly that shape must appear as an all-reduce
+    in the optimized HLO, and per-step DP traffic is ~rows*128*4 bytes."""
+    module, tcfg, rcfg, params, opt_state, poses, images, vi, vc = _setup(64)
+    mesh = make_mesh(8)
+    stepN = make_sharded_train_step(module, tcfg, rcfg, mesh)
+    txt = (
+        stepN.jitted.lower(
+            replicate(params, mesh), replicate(opt_state, mesh),
+            replicate(poses, mesh), replicate(images, mesh),
+            replicate(vi, mesh), replicate(vc, mesh),
+            0, jax.random.PRNGKey(0), 0, None,
+        )
+        .compile()
+        .as_text()
+    )
+    import re
+
+    rows, feats = params["params"]["hash_table"].shape
+    ar_lines = [
+        l
+        for l in txt.splitlines()
+        if re.search(r"= .*all-reduce\(", l) and "f32[" in l
+    ]
+    assert ar_lines, "no all-reduce in the compiled DP step"
+    # the table grads ride the fused gradient all-reduce as full-table
+    # f32[rows, feats] entries (one per density pass per level group) — they
+    # must appear and must dominate the reduced payload
+    table_entries = sum(
+        len(re.findall(rf"f32\[{rows},{feats}\]", l)) for l in ar_lines
+    )
+    assert table_entries > 0, f"no table-shaped all-reduce entries: {ar_lines[:2]}"
+    total_elems = 0
+    table_elems = 0
+    for l in ar_lines:
+        for a, b in re.findall(r"f32\[(\d+),(\d+)\]", l):
+            n = int(a) * int(b)
+            total_elems += n
+            if (int(a), int(b)) == (rows, feats):
+                table_elems += n
+    # reduce-side payload is dominated by hash-table gradients (>50%); this
+    # pins the per-step DP traffic model: ~table_elems * 4 bytes over ICI
+    assert table_elems / total_elems > 0.5, (table_elems, total_elems)
+
+
+def test_table_model_sharding_matches_single_device():
+    """(data=4, model=2) mesh: hash table row-sharded over `model`
+    (SURVEY §2.6 TP row, for log2_hashmap_size > 21). Must bit-match the
+    single-device step and actually leave the table sharded."""
+    from lidarnerf_tpu.parallel.sharding import make_mesh_2d, shard_params
+
+    module, tcfg, rcfg, params, opt_state, poses, images, vi, vc = _setup(64)
+
+    step1 = make_train_step(module, tcfg, rcfg)
+    p1, _, m1 = step1(
+        jax.tree.map(jnp.copy, params),
+        make_optimizer(tcfg).init(params),
+        poses, images, vi, vc, 0, jax.random.PRNGKey(7), 0,
+    )
+
+    mesh = make_mesh_2d(4, 2)
+    stepN = make_sharded_train_step(module, tcfg, rcfg, mesh, shard_table=True)
+    pN, optN, mN = stepN(
+        shard_params(jax.tree.map(jnp.copy, params), mesh),
+        shard_params(make_optimizer(tcfg).init(params), mesh),
+        replicate(poses, mesh), replicate(images, mesh),
+        replicate(vi, mesh), replicate(vc, mesh),
+        0, jax.random.PRNGKey(7), 0,
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6)
+    # the updated table (and its adam moments) stay model-sharded
+    spec = pN["params"]["hash_table"].sharding.spec
+    assert "model" in str(spec), spec
