@@ -188,6 +188,7 @@ def make_train_step(
     render_cfg: RenderConfig,
     patch_size: Any = 1,
     masked_sampling: bool = False,
+    sample_without_replacement: bool = False,
 ):
     """Build the jitted train step for one (patch_size, sampling-mode) config.
 
@@ -207,7 +208,20 @@ def make_train_step(
 
     def loss_fn(params, pose, image_flat, valid_idx_f, valid_count_f, key, occ_grid):
         k_pix, k_render = jax.random.split(key)
-        if masked_sampling:
+        if masked_sampling and sample_without_replacement:
+            # reference-exact semantics (nerfmvl_dataset.py:153-168 uses a
+            # randperm, i.e. WITHOUT replacement) via static-shape
+            # gumbel-top-k: perturb every pool slot with a gumbel key, mask
+            # padding slots to -inf, keep the N best. Measured immaterial vs
+            # the with-replacement default at MVL pool sizes
+            # (tests/test_train.py::TestSamplingReplacement) — kept as an
+            # option for exactness studies.
+            pool = valid_idx_f.shape[0]
+            g = jax.random.gumbel(k_pix, (pool,))
+            g = jnp.where(jnp.arange(pool) < valid_count_f, g, -jnp.inf)
+            _, top = jax.lax.top_k(g, N)
+            inds = jnp.take(valid_idx_f, top)
+        elif masked_sampling:
             draws = jax.random.randint(k_pix, (N,), 0, valid_count_f)
             inds = jnp.take(valid_idx_f, draws)
         else:

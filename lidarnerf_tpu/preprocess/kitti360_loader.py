@@ -123,6 +123,17 @@ class KITTI360Loader:
             out.append(_pad_0001(unrec @ np.linalg.inv(cam_00_to_velo))[:4])
         return np.stack(out)
 
+    def get_image_paths(self, camera_name, sequence_name, frame_ids):
+        """Raw camera png paths (kitti360_loader.py:229-258's data_2d layout).
+
+        The images themselves are only needed for the RGB branch; the LiDAR
+        pipeline reads just the first one's shape (falling back to the KITTI
+        default 376x1408 if the 2D release isn't downloaded).
+        """
+        idx = {"cam_00": "image_00", "cam_01": "image_01"}[camera_name]
+        base = self.root / "data_2d_raw" / f"{sequence_name}_sync" / idx / "data_rect"
+        return [base / f"{f:010d}.png" for f in frame_ids]
+
     def load_lidar_points(self, sequence_name, frame_id):
         """[N, 4] (x, y, z, intensity) from the raw velodyne .bin."""
         path = (

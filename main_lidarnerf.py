@@ -14,6 +14,14 @@ ignored (the native hash-grid + fused MLP path IS the fast path here);
 import os
 
 import numpy as np
+import jax
+
+# Some hosted TPU environments force-register the TPU backend ahead of the
+# JAX_PLATFORMS env var (sitecustomize), so honour an explicit override here:
+# LIDARNERF_PLATFORM=cpu makes CLI debug runs genuinely CPU-local.
+if os.environ.get("LIDARNERF_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["LIDARNERF_PLATFORM"])
+
 import jax.numpy as jnp
 
 from lidarnerf_tpu.utils.config import ConfigArgumentParser
@@ -157,6 +165,10 @@ def get_arg_parser():
     parser.add_argument("--min_near", type=float, default=0.2)
     parser.add_argument("--density_thresh", type=float, default=10)
     parser.add_argument("--bg_radius", type=float, default=-1)
+    # superset flag (not in the reference, which hard-codes 128 at
+    # main_lidarnerf.py:467-478): marching-cubes grid resolution for the
+    # end-of-run mesh export; lower it for smoke runs on CPU
+    parser.add_argument("--mesh_resolution", type=int, default=128)
 
     return parser
 
@@ -258,7 +270,7 @@ def main():
         if test_dataset.images_lidar is not None and opt.test_eval:
             trainer.evaluate(test_dataset)
         trainer.test(test_dataset, write_video=False)
-        trainer.save_mesh(resolution=128, threshold=10)
+        trainer.save_mesh(resolution=opt.mesh_resolution, threshold=10)
     else:
         train_dataset = build_dataset(opt, "train")
         attach_dims(train_dataset)
@@ -283,7 +295,7 @@ def main():
         if test_dataset.images_lidar is not None:
             trainer.evaluate(test_dataset)
         trainer.test(test_dataset, write_video=True)
-        trainer.save_mesh(resolution=128, threshold=10)
+        trainer.save_mesh(resolution=opt.mesh_resolution, threshold=10)
 
 
 if __name__ == "__main__":

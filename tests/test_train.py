@@ -213,3 +213,56 @@ class TestOptimizer:
         assert abs(sched(0) - 1e-2) < 1e-12
         assert abs(sched(100) - 1e-3) < 1e-12
         assert abs(sched(1000) - 1e-3) < 1e-12
+
+
+class TestSamplingReplacement:
+    """VERDICT r1 #10: show the with-replacement masked sampler (the static-
+    shape default) is immaterial vs the reference's randperm-without-
+    replacement semantics (nerfmvl_dataset.py:153-168) at matched budgets."""
+
+    @pytest.mark.slow
+    def test_with_vs_without_replacement_convergence(self):
+        poses, images = make_sphere_scene(2)
+        module = small_model()
+        tcfg, rcfg = small_cfgs(num_rays=256, iters=150)
+        half = (H * W) // 2  # masked pool: left half of the pano
+        vi = jnp.broadcast_to(jnp.arange(half, dtype=jnp.int32), (2, half))
+        vc = jnp.full((2,), half, jnp.int32)
+        posesj, imagesj = jnp.array(poses), jnp.array(images)
+
+        maes = {}
+        for wo in (False, True):
+            params, opt_state = init_state(module, tcfg)
+            step = make_train_step(
+                module, tcfg, rcfg, masked_sampling=True,
+                sample_without_replacement=wo,
+            )
+            key = jax.random.PRNGKey(11)
+            for it in range(150):
+                key, sub = jax.random.split(key)
+                params, opt_state, m = step(
+                    params, opt_state, posesj, imagesj, vi, vc, it % 2, sub, it
+                )
+            maes[wo] = float(m["depth_mae"])
+        assert np.isfinite(maes[False]) and np.isfinite(maes[True])
+        # both samplers must land in the same quality regime
+        lo, hi = sorted(maes.values())
+        assert hi < 1.5 * lo + 1e-3, maes
+
+    def test_without_replacement_single_step(self):
+        poses, images = make_sphere_scene(2)
+        module = small_model()
+        tcfg, rcfg = small_cfgs(num_rays=64)
+        params, opt_state = init_state(module, tcfg)
+        step = make_train_step(
+            module, tcfg, rcfg, masked_sampling=True,
+            sample_without_replacement=True,
+        )
+        half = (H * W) // 2
+        vi = jnp.broadcast_to(jnp.arange(half, dtype=jnp.int32), (2, half))
+        vc = jnp.full((2,), half, jnp.int32)
+        params, _, m = step(
+            params, opt_state, jnp.array(poses), jnp.array(images), vi, vc, 0,
+            jax.random.PRNGKey(5), 0,
+        )
+        assert np.isfinite(float(m["loss"]))
