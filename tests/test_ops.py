@@ -381,3 +381,46 @@ class TestLosses:
         want = torch.nn.CosineSimilarity()(torch.tensor(p), torch.tensor(g)).numpy()
         got = np.asarray(losses.cosine_similarity(jnp.array(p), jnp.array(g)))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestNaNHardening:
+    """Full-config KITTI training NaN'd around step 170 when a density logit
+    crossed exp-overflow (88.7) and a duplicate sample depth produced
+    delta * sigma = 0 * inf in compositing. trunc_exp's forward is clipped at
+    80 (alpha already saturates at 1.0 long before), so the whole chain
+    stays finite."""
+
+    def test_trunc_exp_forward_finite_at_overflow(self):
+        from lidarnerf_tpu.ops.activation import trunc_exp
+
+        y = trunc_exp(jnp.array([100.0, 89.0, 80.0, 15.0, -100.0]))
+        assert np.all(np.isfinite(np.asarray(y)))
+        np.testing.assert_allclose(float(y[2]), np.exp(80.0), rtol=1e-6)
+        # gradient law unchanged: clamp(-15, 15) on the saved input
+        g = jax.grad(lambda x: trunc_exp(x))(100.0)
+        np.testing.assert_allclose(float(g), np.exp(15.0), rtol=1e-6)
+
+    def test_composite_finite_with_saturated_sigma_and_duplicate_z(self):
+        from lidarnerf_tpu.ops.activation import trunc_exp
+        from lidarnerf_tpu.ops.compositing import (
+            composite_weights,
+            merged_composite_weights,
+        )
+
+        sig = trunc_exp(jnp.full((2, 4), 200.0))  # saturated, finite
+        zA = jnp.array([[0.1, 0.2, 0.2, 0.3]] * 2)  # duplicate depths
+        sd = jnp.full((2, 1), 0.05)
+        w = composite_weights(sig, zA, sd)
+        assert np.all(np.isfinite(np.asarray(w)))
+
+        zB = jnp.array([[0.15, 0.2, 0.25, 0.3]] * 2)  # ties across lists too
+        wA, wB = merged_composite_weights(zA, sig, zB, sig, sd)
+        assert np.all(np.isfinite(np.asarray(wA)))
+        assert np.all(np.isfinite(np.asarray(wB)))
+        # gradients through the merged path stay finite as well
+        def loss(s):
+            a, b = merged_composite_weights(zA, s, zB, s, sd)
+            return jnp.sum(a) + jnp.sum(b)
+
+        g = jax.grad(loss)(sig)
+        assert np.all(np.isfinite(np.asarray(g)))
