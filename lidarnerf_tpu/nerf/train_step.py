@@ -263,9 +263,27 @@ def make_train_step(
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, pose, image_flat, vi, vc, key, occ_grid
         )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        metrics = {"loss": loss, **aux}
+        # GradScaler-equivalent non-finite guard (the reference's AMP
+        # scaler.step silently skips the update when grads contain inf/nan,
+        # utils.py:1221-1223): a rare non-finite step must not poison the
+        # parameters. Forensics of one such event showed small, healthy
+        # params with fully-NaN sigma-path grads — a transient, not a blowup.
+        finite = jnp.isfinite(loss)
+        for g in jax.tree.leaves(grads):
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        params = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_params, params
+        )
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_opt_state, opt_state
+        )
+        metrics = {
+            "loss": loss,
+            **aux,
+            "skipped_nonfinite": 1.0 - finite.astype(jnp.float32),
+        }
         return params, opt_state, metrics
 
     return step_fn

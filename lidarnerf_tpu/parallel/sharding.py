@@ -180,12 +180,26 @@ def make_sharded_train_step(
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, pose, image_flat, vi, vc, key, occ_grid
         )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        # non-finite guard, identical to nerf.train_step (GradScaler skip
+        # semantics): a rare NaN/inf step must not poison replicated params
+        finite = jnp.isfinite(loss)
+        for g in jax.tree.leaves(grads):
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        params = jax.tree.map(lambda n, o: jnp.where(finite, n, o), new_params, params)
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_opt_state, opt_state
+        )
         if shard_table:
             params = constrain_table(params)
             opt_state = constrain_table(opt_state)
-        return (params, opt_state), {"loss": loss, **aux}
+        metrics = {
+            "loss": loss,
+            **aux,
+            "skipped_nonfinite": 1.0 - finite.astype(jnp.float32),
+        }
+        return (params, opt_state), metrics
 
     def wrapped(
         params, opt_state, poses, images, vi, vc, frame_idx, key, step, occ_grid=None

@@ -266,3 +266,46 @@ class TestSamplingReplacement:
             jax.random.PRNGKey(5), 0,
         )
         assert np.isfinite(float(m["loss"]))
+
+
+class TestNonFiniteGuard:
+    """GradScaler-equivalent skip: a non-finite step must not poison params
+    (reference AMP scaler.step skips on inf/nan grads, utils.py:1221-1223)."""
+
+    def test_nan_batch_skips_update(self):
+        poses, images = make_sphere_scene(2)
+        images = np.asarray(images).copy()
+        images[..., 2] = np.nan  # poisoned gt depths -> NaN loss/grads
+        module = small_model()
+        tcfg, rcfg = small_cfgs()
+        params, opt_state = init_state(module, tcfg)
+        step = make_train_step(module, tcfg, rcfg)
+        vi = jnp.zeros((2, 1), jnp.int32)
+        vc = jnp.full((2,), H * W, jnp.int32)
+        p2, o2, m = step(
+            jax.tree.map(jnp.copy, params), opt_state,
+            jnp.array(poses), jnp.array(images), vi, vc, 0,
+            jax.random.PRNGKey(0), 0,
+        )
+        assert float(m["skipped_nonfinite"]) == 1.0
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_healthy_batch_not_skipped(self):
+        poses, images = make_sphere_scene(2)
+        module = small_model()
+        tcfg, rcfg = small_cfgs()
+        params, opt_state = init_state(module, tcfg)
+        step = make_train_step(module, tcfg, rcfg)
+        vi = jnp.zeros((2, 1), jnp.int32)
+        vc = jnp.full((2,), H * W, jnp.int32)
+        p2, _, m = step(
+            jax.tree.map(jnp.copy, params), opt_state,
+            jnp.array(poses), jnp.array(images), vi, vc, 0,
+            jax.random.PRNGKey(0), 0,
+        )
+        assert float(m["skipped_nonfinite"]) == 0.0
+        assert any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2))
+        )
