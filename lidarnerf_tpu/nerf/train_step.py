@@ -64,6 +64,9 @@ class TrainConfig:
     lr: float = 1e-2
     iters: int = 30000
     ema_decay: float = 0.95
+    # blockhash seam-consistency regularizer (ops/block_hash.py
+    # block_hash_seam_loss) — a TPU-layout extra, 0 = off
+    alpha_seam: float = 0.0
 
 
 import numpy as _np
@@ -206,7 +209,25 @@ def make_train_step(
     optimizer = make_optimizer(cfg)
     patch_tuple = tuple(patch_size) if not isinstance(patch_size, int) else patch_size
 
+    seam_active = (
+        getattr(cfg, "alpha_seam", 0.0) > 0.0
+        and getattr(module, "encoding", None) == "blockhash"
+    )
+    if seam_active:
+        from lidarnerf_tpu.ops import block_hash as _bh
+
+        seam_spec = _bh.make_block_hash_spec(
+            num_levels=module.num_levels,
+            base_resolution=module.base_resolution,
+            log2_hashmap_size=module.log2_hashmap_size,
+            desired_resolution=module.desired_resolution,
+        )
+
     def loss_fn(params, pose, image_flat, valid_idx_f, valid_count_f, key, occ_grid):
+        if seam_active:
+            # 3-way split only when active so the default path's RNG stream
+            # (and hence any bitwise-reproducibility baseline) is unchanged
+            key, k_seam = jax.random.split(key)
         k_pix, k_render = jax.random.split(key)
         if masked_sampling and sample_without_replacement:
             # reference-exact semantics (nerfmvl_dataset.py:153-168 uses a
@@ -237,6 +258,10 @@ def make_train_step(
         )
         loss = jnp.mean(lidar_loss)
         loss += patch_regularizers(cfg, patch_tuple, pred_depth_m, gt_depth, gt_raydrop)
+        if seam_active:
+            loss += cfg.alpha_seam * _bh.block_hash_seam_loss(
+                params["params"]["hash_table"], seam_spec, k_seam
+            )
         aux = {
             "depth_mae": jnp.mean(jnp.abs(pred_depth_m - gt_depth)),
             "raydrop_err": jnp.mean(jnp.abs(out["image"][..., 0] - gt_raydrop)),

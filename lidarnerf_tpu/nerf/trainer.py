@@ -114,6 +114,7 @@ class Trainer:
             intrinsics_lidar=getattr(opt, "intrinsics_lidar", (2.0, 26.9)),
             lr=opt.lr,
             iters=opt.iters,
+            alpha_seam=getattr(opt, "alpha_seam", 0.0),
         )
         # occupancy-prior sampling (--occ_sampling / --fast): the TPU-native
         # density_grid (models/occupancy.py) reweights the coarse sampling CDF

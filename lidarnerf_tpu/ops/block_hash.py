@@ -293,3 +293,80 @@ def _on_tpu():
     from lidarnerf_tpu.ops.dispatch import on_tpu
 
     return on_tpu()
+
+
+# --------------------------------------------------------------- seam tying
+
+
+def _corner_row_lane(gcorner, block, level: _Level, level_idx, spec: BlockHashSpec):
+    """(row, lane0) for a global corner coordinate stored in a given block.
+
+    gcorner: [Q, 3] int32 global corner coords; block: [Q, 3] int32 block
+    coords that must satisfy 3*block <= gcorner <= 3*block + 3. lane0 is the
+    channel-0 lane; channel 1 is lane0 + 1.
+    """
+    local = gcorner - block * CELLS_PER_BLOCK  # in [0, 3]
+    if level.dense:
+        nb = level.blocks_axis
+        idx = ((block[:, 0] * nb + block[:, 1]) * nb + block[:, 2]).astype(jnp.uint32)
+    else:
+        b = block.astype(jnp.uint32)
+        idx = (
+            b[:, 0] * np.uint32(_HASH_PRIMES[0])
+            ^ b[:, 1] * np.uint32(_HASH_PRIMES[1])
+            ^ b[:, 2] * np.uint32(_HASH_PRIMES[2])
+        )
+    row = (idx % np.uint32(spec.blocks_per_level)).astype(jnp.int32) + np.int32(
+        level_idx * spec.blocks_per_level
+    )
+    lane0 = ((local[:, 0] * CORNERS_PER_BLOCK + local[:, 1]) * CORNERS_PER_BLOCK
+             + local[:, 2]) * LEVEL_DIM
+    return row, lane0
+
+
+def block_hash_seam_loss(table, spec: BlockHashSpec, key, n_per_axis=512):
+    """Stochastic seam-consistency regularizer.
+
+    The block layout stores corners shared by adjacent blocks independently
+    (module docstring, tradeoff #1): a global corner with coordinate g ≡ 0
+    (mod 3) along axis a lives both in block g/3 (local corner 0) and block
+    g/3 - 1 (local corner 3). This loss samples such duplicated corners
+    uniformly per (level, axis) and penalises the squared difference of the
+    two stored feature pairs, tying the copies together so the encoded field
+    stays continuous across block seams. The reference needs no analogue
+    (its corners are globally unique, gridencoder.cu:68-92); this is the
+    TPU-layout counterpart of that uniqueness.
+
+    Returns a scalar: mean squared copy-discrepancy over all sampled corners.
+    """
+    flat = table.reshape(-1)
+    total = 0.0
+    terms = 0
+    keys = jax.random.split(key, spec.num_levels * 3)
+    for li, level in enumerate(spec.levels):
+        max_corner = level.max_cell + 1  # corner coords span [0, max_cell+1]
+        # duplicated boundary coords g = 3*m need both block m-1 and block m
+        # to exist: m in [1, blocks_axis - 1] (and g <= max_corner)
+        n_seams = min(max_corner // CELLS_PER_BLOCK, level.blocks_axis - 1)
+        if n_seams < 1:
+            continue
+        for axis in range(3):
+            k = keys[li * 3 + axis]
+            km, ko = jax.random.split(k)
+            # boundary coordinate along `axis`: g = 3*m, m in [1, n_seams]
+            m = jax.random.randint(km, (n_per_axis,), 1, n_seams + 1)
+            other = jax.random.randint(ko, (n_per_axis, 3), 0, max_corner + 1)
+            g = other.at[:, axis].set(m * CELLS_PER_BLOCK)
+            blk_hi = jnp.clip(g // CELLS_PER_BLOCK, 0, level.blocks_axis - 1)
+            blk_lo = blk_hi.at[:, axis].add(-1)
+            row_a, lane_a = _corner_row_lane(g, blk_hi, level, li, spec)
+            row_b, lane_b = _corner_row_lane(g, blk_lo, level, li, spec)
+            fa0 = jnp.take(flat, row_a * ROW_WIDTH + lane_a)
+            fa1 = jnp.take(flat, row_a * ROW_WIDTH + lane_a + 1)
+            fb0 = jnp.take(flat, row_b * ROW_WIDTH + lane_b)
+            fb1 = jnp.take(flat, row_b * ROW_WIDTH + lane_b + 1)
+            total = total + jnp.mean((fa0 - fb0) ** 2 + (fa1 - fb1) ** 2)
+            terms += 1
+    if terms == 0:
+        return jnp.zeros((), table.dtype)
+    return total / terms

@@ -13,6 +13,7 @@ external research encoder in the reference and intentionally descoped.
 
 from lidarnerf_tpu.ops import block_hash as bhash
 from lidarnerf_tpu.ops import hash_grid as hg
+from lidarnerf_tpu.ops import periodic_volume as pv
 from lidarnerf_tpu.ops.encoders import (
     frequency_encode,
     frequency_encoding_dim,
@@ -70,6 +71,24 @@ def get_encoder(
             spec.output_dim,
         )
 
+    if encoding == "periodic_volume":
+        # the reference's dormant PeriodicVolumeEncoding (encoding.py:123-296),
+        # exposed as a first-class factory name; log2_hashmap_size must be
+        # divisible by 3 (same assert as the reference ctor)
+        pspec = pv.make_periodic_volume_spec(
+            num_levels=num_levels,
+            min_res=base_resolution,
+            max_res=desired_resolution,
+            log2_hashmap_size=log2_hashmap_size,
+            features_per_level=level_dim,
+            smoothstep=kwargs.get("smoothstep", False),
+        )
+        return (
+            lambda x, params: pv.periodic_volume_encode(x, params, pspec),
+            lambda key: pv.periodic_volume_init(key, pspec),
+            pspec.output_dim,
+        )
+
     if encoding == "blockhash":
         spec = bhash.make_block_hash_spec(
             num_levels=num_levels,
@@ -84,6 +103,6 @@ def get_encoder(
         )
 
     raise NotImplementedError(
-        "Unknown encoding mode, choose from "
-        "[None, frequency, sphere_harmonics, hashgrid, tiledgrid, blockhash]"
+        "Unknown encoding mode, choose from [None, frequency, "
+        "sphere_harmonics, hashgrid, tiledgrid, blockhash, periodic_volume]"
     )

@@ -81,6 +81,13 @@ def get_arg_parser():
     parser.add_argument("--alpha_spatial", type=float, default=0.1)
     parser.add_argument("--alpha_tv", type=float, default=1)
     parser.add_argument("--alpha_grad", type=float, default=1e2)
+    parser.add_argument(
+        "--alpha_seam",
+        type=float,
+        default=0.0,
+        help="blockhash seam-consistency regularizer weight (TPU layout "
+        "extra; ties duplicated block-boundary corners, ops/block_hash.py)",
+    )
     parser.add_argument("--intensity_inv_scale", type=float, default=1)
     parser.add_argument("--spatial_smooth", action="store_true")
     parser.add_argument("--grad_norm_smooth", action="store_true")

@@ -146,3 +146,89 @@ class TestBlockHash:
         g = jax.grad(loss)(params)
         total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
         assert np.isfinite(total) and total > 0
+
+
+class TestSeamLoss:
+    """block_hash_seam_loss ties the independently-stored copies of
+    block-boundary corners (the layout tradeoff documented in the module
+    docstring; VERDICT r1 #4 follow-up)."""
+
+    def _consistent_table(self, spec):
+        """Table where every stored corner holds f(global corner coord) —
+        duplicated boundary corners agree by construction (dense levels)."""
+        tab = np.zeros((spec.table_rows, bh.ROW_WIDTH), np.float32)
+        for li, level in enumerate(spec.levels):
+            assert level.dense, "test spec must be all-dense"
+            nb = level.blocks_axis
+            for bx in range(nb):
+                for by in range(nb):
+                    for bz in range(nb):
+                        row = (bx * nb + by) * nb + bz + li * spec.blocks_per_level
+                        for lx in range(4):
+                            for ly in range(4):
+                                for lz in range(4):
+                                    g = np.array([3 * bx + lx, 3 * by + ly, 3 * bz + lz])
+                                    v = np.sin(0.7 * g[0] + 1.3 * g[1] + 2.1 * g[2] + li)
+                                    lane0 = ((lx * 4 + ly) * 4 + lz) * 2
+                                    tab[row, lane0] = v
+                                    tab[row, lane0 + 1] = -v
+        return jnp.asarray(tab)
+
+    def test_zero_for_consistent_table(self):
+        spec, _ = make(num_levels=2, desired=32, log2=17)
+        table = self._consistent_table(spec)
+        loss = bh.block_hash_seam_loss(table, spec, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(float(loss), 0.0, atol=1e-12)
+
+    def test_positive_for_random_table(self):
+        spec, _ = make(num_levels=2, desired=32, log2=17)
+        table = jax.random.normal(jax.random.PRNGKey(1), (spec.table_rows, 128))
+        loss = bh.block_hash_seam_loss(table, spec, jax.random.PRNGKey(0))
+        assert float(loss) > 0.01
+
+    def test_grad_reduces_discrepancy(self):
+        """A few gradient steps on the loss alone shrink seam discrepancies."""
+        spec, _ = make(num_levels=2, desired=32, log2=17)
+        table = jax.random.normal(jax.random.PRNGKey(1), (spec.table_rows, 128))
+        g_fn = jax.jit(jax.grad(
+            lambda t, k: bh.block_hash_seam_loss(t, spec, k)
+        ))
+        l0 = float(bh.block_hash_seam_loss(table, spec, jax.random.PRNGKey(9)))
+        # the loss is a MEAN over 512 sampled pairs x 6 (level, axis) terms
+        # and coarse levels resample the same few pairs many times per batch,
+        # so large raw-SGD steps diverge; this is a direction check (real
+        # training uses Adam), not a rate check
+        for i in range(20):
+            table = table - 2.0 * g_fn(table, jax.random.PRNGKey(i))
+        l1 = float(bh.block_hash_seam_loss(table, spec, jax.random.PRNGKey(9)))
+        assert l1 < 0.7 * l0, (l0, l1)
+
+    def test_train_step_integration(self):
+        """alpha_seam wires through TrainConfig into the jitted step."""
+        from lidarnerf_tpu.models.network import NeRFNetwork
+        from lidarnerf_tpu.models.renderer import RenderConfig
+        from lidarnerf_tpu.nerf.train_step import (
+            TrainConfig, make_optimizer, make_train_step,
+        )
+
+        module = NeRFNetwork(
+            encoding="blockhash", desired_resolution=64, log2_hashmap_size=12,
+            num_levels=4,
+        )
+        tcfg = TrainConfig(
+            num_rays_lidar=64, H_lidar=8, W_lidar=16, iters=10, alpha_seam=0.1
+        )
+        rcfg = RenderConfig(num_steps=16, upsample_steps=4, min_near_lidar=0.05)
+        params = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.zeros((4, 3))
+        )
+        opt_state = make_optimizer(tcfg).init(params)
+        step = make_train_step(module, tcfg, rcfg, patch_size=1)
+        poses = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+        images = jnp.ones((1, 8, 16, 3)) * 0.5
+        vi = jnp.zeros((1, 1), jnp.int32)
+        vc = jnp.full((1,), 8 * 16, jnp.int32)
+        params, opt_state, m = step(
+            params, opt_state, poses, images, vi, vc, 0, jax.random.PRNGKey(1), 0
+        )
+        assert np.isfinite(float(m["loss"]))

@@ -156,3 +156,98 @@ class TestEncoderFactory:
             lambda t: hg.hash_grid_total_variation(t, spec, jax.random.PRNGKey(1), 1000)
         )(table)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestPeriodicVolume:
+    """The reference's dormant PeriodicVolumeEncoding (encoding.py:123-296)
+    exposed as a first-class factory name."""
+
+    def _spec(self, **kw):
+        from lidarnerf_tpu.ops import periodic_volume as pv
+
+        args = dict(num_levels=3, min_res=4, max_res=16, log2_hashmap_size=9,
+                    features_per_level=2)
+        args.update(kw)
+        return pv.make_periodic_volume_spec(**args)
+
+    def test_oracle_parity(self):
+        """Match a direct per-point numpy port of encoding.py:201-273."""
+        import jax
+        from lidarnerf_tpu.ops import periodic_volume as pv
+
+        spec = self._spec()
+        table = pv.periodic_volume_init(jax.random.PRNGKey(0), spec)
+        tab = np.asarray(table)
+        R = spec.resolution
+        x = np.random.RandomState(1).rand(16, 3).astype(np.float32)
+        out = np.asarray(pv.periodic_volume_encode(jnp.asarray(x), table, spec))
+
+        def hash_fn(c, lvl):
+            c = np.mod(c, R)
+            return (c[0] * R + c[1]) * R + c[2] + lvl * spec.level_size
+
+        for i in range(x.shape[0]):
+            for lvl, scale in enumerate(spec.scalings):
+                pos = x[i] * scale
+                f = np.floor(pos)
+                cidx = np.ceil(pos)
+                off = pos - f
+                acc = np.zeros(2, np.float32)
+                for c in range(8):
+                    bits = np.array([(c >> 2) & 1, (c >> 1) & 1, c & 1])
+                    corner = np.where(bits, cidx, f).astype(np.int64)
+                    w = np.prod(np.where(bits, off, 1.0 - off))
+                    acc += w * tab[hash_fn(corner, lvl)]
+                np.testing.assert_allclose(
+                    out[i, 2 * lvl : 2 * lvl + 2], acc, rtol=2e-5, atol=1e-7
+                )
+
+    def test_periodic_wraparound(self):
+        """Coordinates differing by R/scale whole volumes encode identically."""
+        import jax
+        from lidarnerf_tpu.ops import periodic_volume as pv
+
+        spec = self._spec(num_levels=1, min_res=8, max_res=8)
+        table = pv.periodic_volume_init(jax.random.PRNGKey(0), spec)
+        R = spec.resolution
+        x = jnp.array([[0.11, 0.23, 0.37]], jnp.float32)
+        shift = R / spec.scalings[0]
+        a = pv.periodic_volume_encode(x, table, spec)
+        b = pv.periodic_volume_encode(x + shift, table, spec)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)
+
+    def test_tv_loss_and_grad(self):
+        import jax
+        from lidarnerf_tpu.ops import periodic_volume as pv
+
+        spec = self._spec()
+        table = pv.periodic_volume_init(jax.random.PRNGKey(0), spec)
+        tv = pv.periodic_volume_total_variation(table, spec)
+        assert float(tv) > 0
+        g = jax.grad(lambda t: pv.periodic_volume_total_variation(t, spec))(table)
+        assert np.isfinite(np.asarray(g)).all()
+        # constant volume has zero TV
+        flat = jnp.ones_like(table)
+        assert float(pv.periodic_volume_total_variation(flat, spec)) == 0.0
+
+    def test_factory_and_grad_flow(self):
+        import jax
+        from lidarnerf_tpu.ops.factory import get_encoder
+
+        enc, init, dim = get_encoder(
+            "periodic_volume", num_levels=2, base_resolution=4,
+            desired_resolution=16, log2_hashmap_size=9,
+        )
+        params = init(jax.random.PRNGKey(0))
+        x = jnp.array(np.random.RandomState(0).rand(8, 3), jnp.float32)
+        out = enc(x, params)
+        assert out.shape == (8, dim)
+        g = jax.grad(lambda p: enc(x, p).sum())(params)
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_requires_log2_multiple_of_3(self):
+        import pytest
+        from lidarnerf_tpu.ops import periodic_volume as pv
+
+        with pytest.raises(ValueError):
+            pv.make_periodic_volume_spec(log2_hashmap_size=10)
