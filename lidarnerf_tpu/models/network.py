@@ -189,7 +189,10 @@ class NeRFNetwork(nn.Module):
             return bhash.block_hash_encode(x01, self.hash_table, self.block_spec)
         if self.grid_spec is not None:
             x01 = (x + self.bound) / (2.0 * self.bound)  # grid.py:213
-            return hg.hash_grid_encode(x01, self.hash_table, self.grid_spec)
+            # chunked + remat above 128k queries: the exact encoder otherwise
+            # materialises [Q, 8, C] residuals per level and compile-OOMs at
+            # the flagship 4096x832 step (ops/hash_grid.py)
+            return hg.hash_grid_encode_chunked(x01, self.hash_table, self.grid_spec)
         if self.encoding == "frequency":
             return frequency_encode(x, self.multires)
         return x

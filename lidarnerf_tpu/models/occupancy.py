@@ -100,8 +100,9 @@ def occ_z_vals(key, nears, fars, pdf, num_steps: int, perturb: bool):
     sorted — the property the downstream sort-merge relies on — and gives
     lower-variance coverage than i.i.d. uniform u. With a uniform PDF the
     deterministic path (perturb=False, u = inclusive linspace) reproduces the
-    parity-mode stratified law (renderer.py:149-161) *exactly*, so eval
-    renders are bitwise-stable across cold start.
+    parity-mode stratified law (renderer.py:149-161) up to float32 inverse-CDF
+    arithmetic (cumsum + interpolation; tests assert rtol=1e-4/1e-5 agreement
+    — close, not bitwise).
     """
     N, K = pdf.shape
     if perturb:

@@ -185,29 +185,32 @@ def patch_regularizers(cfg: TrainConfig, patch_size, pred_depth, gt_depth, gt_ra
     return loss
 
 
-def make_train_step(
+def make_loss_fn(
     module,
     cfg: TrainConfig,
     render_cfg: RenderConfig,
     patch_size: Any = 1,
     masked_sampling: bool = False,
     sample_without_replacement: bool = False,
+    constrain=None,
 ):
-    """Build the jitted train step for one (patch_size, sampling-mode) config.
+    """Build the per-step loss closure shared by the single-device and
+    data-parallel step factories.
 
-    Returned step signature:
-        step_fn(params, opt_state, poses, images, valid_idx, valid_counts,
-                frame_idx, key, step)
-            -> (params, opt_state, metrics dict)
+    ONE implementation of the full feature matrix (pixel sampling incl. the
+    without-replacement option, rendering, loss stack, seam regularizer,
+    metrics) so the two step builders cannot drift — the reference's DDP path
+    rotted precisely because it was a second code path (utils.py:1326-1350).
 
-    poses: [F,4,4]; images: [F,H,W,3] resident on device; valid_idx/
-    valid_counts: [F,P]/[F] for NeRF-MVL masked sampling (pass zeros+HW for
-    dense datasets); frame_idx/step: traced scalars.
+    `constrain`, when given, is applied to every ray-batch-shaped array right
+    after it is formed (the sharded builder passes a data-axis
+    with_sharding_constraint; single-device passes nothing).
     """
     H, W = cfg.H_lidar, cfg.W_lidar
     N = cfg.num_rays_lidar
-    optimizer = make_optimizer(cfg)
     patch_tuple = tuple(patch_size) if not isinstance(patch_size, int) else patch_size
+    if constrain is None:
+        constrain = lambda x: x
 
     seam_active = (
         getattr(cfg, "alpha_seam", 0.0) > 0.0
@@ -238,17 +241,30 @@ def make_train_step(
             # (tests/test_train.py::TestSamplingReplacement) — kept as an
             # option for exactness studies.
             pool = valid_idx_f.shape[0]
+            if pool < N:
+                raise ValueError(
+                    "sample_without_replacement needs a valid-index pool of at "
+                    f"least num_rays_lidar slots (pool={pool} < N={N})"
+                )
             g = jax.random.gumbel(k_pix, (pool,))
             g = jnp.where(jnp.arange(pool) < valid_count_f, g, -jnp.inf)
             _, top = jax.lax.top_k(g, N)
+            # if the frame has fewer than N valid pixels, top_k exhausts the
+            # valid slots and starts returning -inf padding positions — remap
+            # those to with-replacement draws over the valid prefix so padding
+            # pixel indices are never trained on
+            vc = jnp.maximum(valid_count_f, 1)
+            top = jnp.where(top < vc, top, top % vc)
             inds = jnp.take(valid_idx_f, top)
         elif masked_sampling:
             draws = jax.random.randint(k_pix, (N,), 0, valid_count_f)
             inds = jnp.take(valid_idx_f, draws)
         else:
             inds = sample_ray_indices(k_pix, H, W, N, patch_tuple)
-        gt = jnp.take(image_flat, inds, axis=0)  # [N, 3]
+        inds = constrain(inds)
+        gt = constrain(jnp.take(image_flat, inds, axis=0))  # [N, 3]
         rays_o, rays_d = rays_from_indices(pose, inds, H, W, cfg.intrinsics_lidar)
+        rays_o, rays_d = constrain(rays_o), constrain(rays_d)
 
         out = render_rays(
             module, params, rays_o, rays_d, k_render, render_cfg, True, occ_grid
@@ -267,6 +283,60 @@ def make_train_step(
             "raydrop_err": jnp.mean(jnp.abs(out["image"][..., 0] - gt_raydrop)),
         }
         return loss, aux
+
+    return loss_fn
+
+
+def guarded_update(optimizer, params, opt_state, grads, loss):
+    """Apply an optimizer update unless loss/grads contain non-finite values.
+
+    GradScaler-equivalent non-finite guard (the reference's AMP scaler.step
+    silently skips the update when grads contain inf/nan, utils.py:1221-1223):
+    a rare non-finite step must not poison the parameters. Forensics of one
+    such event showed small, healthy params with fully-NaN sigma-path grads —
+    a transient, not a blowup. Note one deliberate divergence: on a skipped
+    step the optax schedule count rolls back with the opt_state, whereas the
+    reference's LambdaLR steps regardless (utils.py:1225) — immaterial at
+    observed skip rates (~1 step / 30k).
+
+    Returns (params, opt_state, finite) where finite is a traced bool.
+    """
+    finite = jnp.isfinite(loss)
+    for g in jax.tree.leaves(grads):
+        finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+    updates, new_opt_state = optimizer.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    params = jax.tree.map(lambda n, o: jnp.where(finite, n, o), new_params, params)
+    opt_state = jax.tree.map(
+        lambda n, o: jnp.where(finite, n, o), new_opt_state, opt_state
+    )
+    return params, opt_state, finite
+
+
+def make_train_step(
+    module,
+    cfg: TrainConfig,
+    render_cfg: RenderConfig,
+    patch_size: Any = 1,
+    masked_sampling: bool = False,
+    sample_without_replacement: bool = False,
+):
+    """Build the jitted train step for one (patch_size, sampling-mode) config.
+
+    Returned step signature:
+        step_fn(params, opt_state, poses, images, valid_idx, valid_counts,
+                frame_idx, key, step)
+            -> (params, opt_state, metrics dict)
+
+    poses: [F,4,4]; images: [F,H,W,3] resident on device; valid_idx/
+    valid_counts: [F,P]/[F] for NeRF-MVL masked sampling (pass zeros+HW for
+    dense datasets); frame_idx/step: traced scalars.
+    """
+    optimizer = make_optimizer(cfg)
+    loss_fn = make_loss_fn(
+        module, cfg, render_cfg, patch_size, masked_sampling,
+        sample_without_replacement,
+    )
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(
@@ -288,21 +358,8 @@ def make_train_step(
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, pose, image_flat, vi, vc, key, occ_grid
         )
-        # GradScaler-equivalent non-finite guard (the reference's AMP
-        # scaler.step silently skips the update when grads contain inf/nan,
-        # utils.py:1221-1223): a rare non-finite step must not poison the
-        # parameters. Forensics of one such event showed small, healthy
-        # params with fully-NaN sigma-path grads — a transient, not a blowup.
-        finite = jnp.isfinite(loss)
-        for g in jax.tree.leaves(grads):
-            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        params = jax.tree.map(
-            lambda n, o: jnp.where(finite, n, o), new_params, params
-        )
-        opt_state = jax.tree.map(
-            lambda n, o: jnp.where(finite, n, o), new_opt_state, opt_state
+        params, opt_state, finite = guarded_update(
+            optimizer, params, opt_state, grads, loss
         )
         metrics = {
             "loss": loss,

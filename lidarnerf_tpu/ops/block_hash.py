@@ -31,7 +31,7 @@ Tradeoffs vs the reference layout (documented, deliberate):
 
 The Pallas kernels (block_hash_pallas.py) stream query chunks against
 VMEM-resident level tables: forward = scalar-loop row fetch + vectorised lerp
-(~144M rows/s), backward = sharded accumulate (~133M rows/s), ~300x the XLA
+(~220M rows/s), backward = sharded accumulate (~154M rows/s), ~300x the XLA
 scatter path this replaces.
 """
 

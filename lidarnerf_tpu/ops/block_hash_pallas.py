@@ -4,7 +4,7 @@ Two kernels, both iterating a (level, query-chunk) grid with the current
 level's 4MB table block resident in VMEM:
 
 - forward: phase 1 is a manually-unrolled scalar loop fetching each query's
-  128-float block row from VMEM (~144M rows/s — ~100x XLA's gather on this
+  128-float block row from VMEM (~220M rows/s — ~100x XLA's gather on this
   layout); phase 2 contracts the fetched rows with the trilinear lane-weight
   rows and reduces the 128 lanes to the 2 per-level features on the MXU via
   a split-bf16 (hi + lo residual) matmul against a static even/odd selector

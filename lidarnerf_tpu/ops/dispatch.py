@@ -29,7 +29,10 @@ def kernel_platform() -> str:
     try:
         dd = jax.config.jax_default_device
         if dd is not None:
-            return getattr(dd, "platform", "cpu")
+            # jax.default_device also accepts a platform *string* ("tpu");
+            # getattr on a str would silently return "cpu" and disable the
+            # Pallas kernels on TPU
+            return dd if isinstance(dd, str) else getattr(dd, "platform", "cpu")
     except Exception:
         pass
     try:

@@ -24,9 +24,10 @@ table gradient (the CUDA kernel's non-deterministic atomicAdd has no TPU
 analogue — and doesn't need one).
 
 The encode loop is unrolled over the (static) level count so XLA sees L
-independent gather+fma chains it can fuse and overlap; see
-`lidarnerf_tpu.ops.hash_grid_pallas` for the fused Pallas kernel used on the
-hot path.
+independent gather+fma chains it can fuse and overlap. The hot path uses the
+block-hash layout instead (`ops/block_hash.py` + `ops/block_hash_pallas.py`);
+this module is the reference-exact oracle and the `encoding="hashgrid"` /
+`"tiledgrid"` backends.
 """
 
 from dataclasses import dataclass, field
@@ -244,4 +245,40 @@ def hash_grid_encode(x01, table, spec: HashGridSpec):
 
     out = jnp.concatenate(feats, axis=-1)
     out = jnp.where(oob, 0.0, out)
+    return out.reshape(*prefix, spec.output_dim)
+
+
+@partial(jax.jit, static_argnames=("spec", "chunk"))
+def hash_grid_encode_chunked(x01, table, spec: HashGridSpec, chunk: int = 131072):
+    """hash_grid_encode in fixed-size query chunks with rematerialisation.
+
+    The plain encoder materialises [Q, 2^D] corner indices and [Q, 2^D, C]
+    gathered features per level as autodiff residuals; at the flagship KITTI
+    step scale (Q = 4096 x 832 = 3.4M) that is >20 GB of HBM and the train
+    step compile-OOMs. Here the query axis is scanned in `chunk`-sized blocks
+    with `jax.checkpoint`, so the backward recomputes each block's gathers
+    instead of storing them: peak residual memory drops from O(Q * 2^D * L) to
+    O(chunk * 2^D) + the table-gradient accumulator, making the exact encoder
+    (the quality oracle for the block-hash redesign) trainable at the full
+    4096x832 config. Numerics are unchanged — same gathers, same lerp, chunked.
+
+    Matches the CUDA kernel exactly like hash_grid_encode (the reference never
+    materialises these intermediates at all: gridencoder.cu:96-263 recomputes
+    corner indices in the backward kernel — this is the XLA analogue).
+    """
+    prefix = x01.shape[:-1]
+    x = x01.reshape(-1, spec.input_dim)
+    Q = x.shape[0]
+    if Q <= chunk:
+        return hash_grid_encode(x01, table, spec)
+    pad = (-Q) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    xc = xp.reshape(-1, chunk, spec.input_dim)
+
+    @jax.checkpoint
+    def body(xb):
+        return hash_grid_encode(xb, table, spec)
+
+    out = jax.lax.map(body, xc)
+    out = out.reshape(-1, spec.output_dim)[:Q]
     return out.reshape(*prefix, spec.output_dim)

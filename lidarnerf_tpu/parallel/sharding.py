@@ -16,16 +16,14 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lidarnerf_tpu.dataset.base import rays_from_indices, sample_ray_indices
-from lidarnerf_tpu.models.renderer import RenderConfig, render_rays
+from lidarnerf_tpu.models.renderer import RenderConfig
 from lidarnerf_tpu.nerf.train_step import (
     TrainConfig,
-    lidar_losses,
+    guarded_update,
+    make_loss_fn,
     make_optimizer,
-    patch_regularizers,
 )
 
 
@@ -91,6 +89,7 @@ def make_sharded_train_step(
     mesh: Mesh,
     patch_size=1,
     masked_sampling: bool = False,
+    sample_without_replacement: bool = False,
     shard_table: bool = False,
 ):
     """Data-parallel variant of nerf.train_step.make_train_step.
@@ -101,8 +100,12 @@ def make_sharded_train_step(
     parameter gradients are all-reduced by XLA (psum over ICI). Patch
     regularizers operate on the patch axis which subdivides the ray axis, so
     they shard the same way.
+
+    The per-step loss itself is nerf.train_step.make_loss_fn — the SAME
+    closure the single-device step uses (full feature matrix incl. seam loss
+    and without-replacement sampling), differing only in the data-axis
+    sharding constraint injected via its `constrain` hook.
     """
-    H, W = cfg.H_lidar, cfg.W_lidar
     N = cfg.num_rays_lidar
     n_data = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
     if N % n_data != 0:
@@ -112,34 +115,15 @@ def make_sharded_train_step(
     if shard_table and "model" not in mesh.axis_names:
         raise ValueError("shard_table=True needs a mesh with a 'model' axis")
     optimizer = make_optimizer(cfg)
-    patch_tuple = tuple(patch_size) if not isinstance(patch_size, int) else patch_size
-    ray_sharding = NamedSharding(mesh, P("data"))
 
     def constrain(x):
         spec = P("data", *([None] * (x.ndim - 1)))
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
-    def loss_fn(params, pose, image_flat, valid_idx_f, valid_count_f, key, occ_grid):
-        k_pix, k_render = jax.random.split(key)
-        if masked_sampling:
-            draws = jax.random.randint(k_pix, (N,), 0, valid_count_f)
-            inds = jnp.take(valid_idx_f, draws)
-        else:
-            inds = sample_ray_indices(k_pix, H, W, N, patch_tuple)
-        inds = jax.lax.with_sharding_constraint(inds, ray_sharding)
-        gt = constrain(jnp.take(image_flat, inds, axis=0))
-        rays_o, rays_d = rays_from_indices(pose, inds, H, W, cfg.intrinsics_lidar)
-        rays_o, rays_d = constrain(rays_o), constrain(rays_d)
-
-        out = render_rays(
-            module, params, rays_o, rays_d, k_render, render_cfg, True, occ_grid
-        )
-        lidar_loss, pred_depth_m, gt_depth, gt_raydrop = lidar_losses(
-            cfg, out["depth"], out["image"], gt
-        )
-        loss = jnp.mean(lidar_loss)
-        loss += patch_regularizers(cfg, patch_tuple, pred_depth_m, gt_depth, gt_raydrop)
-        return loss, {"depth_mae": jnp.mean(jnp.abs(pred_depth_m - gt_depth))}
+    loss_fn = make_loss_fn(
+        module, cfg, render_cfg, patch_size, masked_sampling,
+        sample_without_replacement, constrain=constrain,
+    )
 
     repl = NamedSharding(mesh, P())
 
@@ -180,16 +164,8 @@ def make_sharded_train_step(
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, pose, image_flat, vi, vc, key, occ_grid
         )
-        # non-finite guard, identical to nerf.train_step (GradScaler skip
-        # semantics): a rare NaN/inf step must not poison replicated params
-        finite = jnp.isfinite(loss)
-        for g in jax.tree.leaves(grads):
-            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        params = jax.tree.map(lambda n, o: jnp.where(finite, n, o), new_params, params)
-        opt_state = jax.tree.map(
-            lambda n, o: jnp.where(finite, n, o), new_opt_state, opt_state
+        params, opt_state, finite = guarded_update(
+            optimizer, params, opt_state, grads, loss
         )
         if shard_table:
             params = constrain_table(params)

@@ -145,8 +145,10 @@ def get_arg_parser():
     parser.add_argument(
         "--fast",
         action="store_true",
-        help="macro: --occ_sampling + num_steps 192 (4x fewer coarse samples "
-        "at matched quality; see docs/occ_sampling.md)",
+        help="macro: --occ_sampling + num_steps 192 (4x fewer coarse samples; "
+        "CD/F-score/intensity match parity within a few percent but test-split "
+        "depth RMSE regresses at ray-drop boundaries — see docs/occ_sampling.md "
+        "and VALIDATION.md before using for headline numbers)",
     )
 
     # network backbone

@@ -28,3 +28,11 @@ import jax  # noqa: E402
 
 if not _TPU_MODE:
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: the suite's cost is dominated by XLA CPU
+    # compiles of the same train/render programs on every run. Caching them
+    # under the repo keeps repeat runs (the common case: every push) fast;
+    # a cold run pays the usual compile time once.
+    _cache = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -229,6 +229,13 @@ def _install_fake_open3d(monkeypatch, radius=8.0):
             self.removed_mask = np.asarray(mask)
 
     class TriangleMesh:
+        def __init__(self, vertices=None, triangles=None):
+            # constructible form used by the NKSR baseline
+            # (meshing.py LidarNVSNKSR.meshing_func)
+            self.vertices = vertices
+            self.triangles = triangles
+            self.removed_mask = None
+
         @staticmethod
         def create_from_point_cloud_poisson(pcd, depth=8):
             pts = np.asarray(pcd.points)
@@ -346,6 +353,63 @@ class TestMeshingBaselines:
             assert d["hit_normals"].shape == (H, W, 3)
             assert d["rays_d"].shape == (H, W, 3)
             assert set(np.unique(d["raydrop_masks"])) <= {0.0, 1.0}
+
+    def test_nksr_full_flow(self, monkeypatch):
+        """Executes the NKSR fit -> predict_frame flow (reference
+        lidarnvs_nksr.py:26-50) against the numpy open3d stub plus a fake
+        `nksr` module, so API typos in LidarNVSNKSR cannot ship silently."""
+        import sys
+        import types
+
+        import torch
+
+        _install_fake_open3d(monkeypatch)
+        calls = {}
+
+        class _DualMesh:
+            def __init__(self, pts):
+                self.v = torch.from_numpy(pts[:8].copy())
+                self.f = torch.zeros((4, 3), dtype=torch.int64)
+
+        class _Field:
+            def __init__(self, pts):
+                self._pts = pts
+
+            def extract_dual_mesh(self, mise_iter=0):
+                calls["mise_iter"] = mise_iter
+                return _DualMesh(self._pts)
+
+        class _Reconstructor:
+            def __init__(self, device):
+                calls["device"] = device
+
+            def reconstruct(self, pts, nrm):
+                assert pts.shape == nrm.shape and pts.dtype == torch.float32
+                calls["n_points"] = int(pts.shape[0])
+                return _Field(pts.cpu().numpy())
+
+        nksr = types.ModuleType("nksr")
+        nksr.Reconstructor = _Reconstructor
+        monkeypatch.setitem(sys.modules, "nksr", nksr)
+
+        from lidarnerf_tpu.lidarnvs.meshing import LidarNVSNKSR
+
+        ds = FakeDataset()
+        nvs = LidarNVSNKSR(k=3)
+        nvs.fit(ds)
+        # the reconstructor saw every accumulated point + the reference's
+        # mise_iter=1 dual-mesh extraction (lidarnvs_nksr.py:40-44)
+        assert calls["n_points"] == len(nvs.points)
+        assert calls["mise_iter"] == 1
+        assert str(calls["device"]) == "cpu"
+
+        pred = nvs.predict_frame(
+            ds.intrinsics_lidar, ds.poses_lidar[0], ds.H_lidar, ds.W_lidar
+        )
+        gt_pano = ds.images_lidar[0][:, :, 2]
+        both = (pred["pano"] > 0) & (gt_pano > 0)
+        assert both.mean() > 0.5
+        assert np.median(np.abs(pred["pano"][both] - gt_pano[both])) < 0.1
 
     def test_raydrop_requires_checkpoint(self, monkeypatch):
         _install_fake_open3d(monkeypatch)

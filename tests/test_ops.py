@@ -190,6 +190,26 @@ class TestHashGrid:
         )(jnp.array([[0.31, 0.62, 0.13]], jnp.float32))
         assert np.isfinite(np.asarray(g)).all()
 
+    def test_chunked_encode_matches_unchunked(self):
+        """hash_grid_encode_chunked (the flagship-scale remat path) must be a
+        pure memory-layout change: identical features AND identical table
+        gradients, including the ragged final chunk and prefix-shaped input."""
+        spec, table = self.make()
+        t = jnp.array(table)
+        x = jnp.array(np.random.RandomState(4).rand(7, 41, 3), jnp.float32)
+
+        out_full = hg.hash_grid_encode(x, t, spec)
+        out_chunk = hg.hash_grid_encode_chunked(x, t, spec, chunk=64)  # 287 = 4*64+31
+        np.testing.assert_array_equal(np.asarray(out_full), np.asarray(out_chunk))
+
+        g_full = jax.grad(lambda t: jnp.sum(hg.hash_grid_encode(x, t, spec) ** 2))(t)
+        g_chunk = jax.grad(
+            lambda t: jnp.sum(hg.hash_grid_encode_chunked(x, t, spec, chunk=64) ** 2)
+        )(t)
+        np.testing.assert_allclose(
+            np.asarray(g_full), np.asarray(g_chunk), rtol=1e-6, atol=1e-9
+        )
+
 
 class TestSamplePDF:
     def test_det_uniform_weights(self):
