@@ -1,23 +1,36 @@
 """Pallas TPU kernels for the block-hash grid encoder.
 
-Two kernels, both iterating a (level, query-chunk) grid with the current
-level's 4MB table block resident in VMEM:
+Two kernels, both iterating a (level-group, query-chunk) grid with the
+group's table block resident in VMEM:
 
-- forward: phase 1 is a manually-unrolled scalar loop fetching each query's
-  128-float block row from VMEM (~220M rows/s — ~100x XLA's gather on this
-  layout); phase 2 contracts the fetched rows with the trilinear lane-weight
-  rows and reduces the 128 lanes to the 2 per-level features on the MXU via
-  a split-bf16 (hi + lo residual) matmul against a static even/odd selector
-  — bit-accurate to ~5e-6 relative and ~12ms/step faster than the VPU
-  where-mask reduction it replaced.
-- backward: builds the [CHUNK, 128] gradient rows in-register from the
-  upstream feature grads (same split-bf16 MXU trick to spread the 2 feature
-  grads across the 128 lanes), then accumulates them into SHARDS=6
-  interleaved VMEM copies of the level's gradient table (the sharding breaks
-  the store-to-load RMW hazard chain that otherwise serialises the loop); the
-  shards are summed by XLA afterwards. SHARDS=6 does not divide CHUNK, so a
-  statically-unrolled 4-row tail finishes each chunk (measured: S4 303ms ->
-  S6 261ms on the KITTI step; S8 OOMs VMEM at compile).
+- forward (QUAD-level: four levels per grid step): phase 1 is a manually-
+  unrolled scalar loop fetching each query's 128-float block row from VMEM —
+  four independent fetch streams (one per level) interleave in the scalar
+  pipeline to hide VMEM load latency (1 stream -> 2 gave +16%, 2 -> 4 a
+  further +10%; measured 149 ms vs 165 ms at KITTI step scale, bit-exact);
+  phase 2 contracts the fetched rows with the trilinear lane-weight rows and
+  reduces the 128 lanes to the 2 per-level features on the MXU via a
+  split-bf16 (hi + lo residual) matmul against a static even/odd selector.
+  A fetch-only ablation times the same as the full forward: the kernel is
+  100% scalar-fetch bound, so phase 2 rides along for free (tools/
+  exp_kernels2.py) — which is also why fusing the sigma MLP into this kernel
+  (round-2 TODO) was measured to be worthless and dropped.
+- backward (paired-level): builds the [CHUNK, 128] gradient rows in-register
+  from the upstream feature grads (same split-bf16 MXU trick to spread the 2
+  feature grads across the 128 lanes), then accumulates them into SHARDS=8
+  interleaved copies of the level-pair's gradient table held in a persistent
+  VMEM *scratch* accumulator (zeroed at chunk 0 of each pair, reduced into
+  the output block at the last chunk). The sharding breaks the store-to-load
+  RMW hazard chain that otherwise serialises the loop; keeping the copies in
+  scratch instead of the (double-buffered) output block is what makes S=8
+  fit VMEM (the old output-block S8 variant compile-OOMed; scratch S10/S12
+  measured slower/OOM). Dense coarse level pairs skip the scalar RMW loop
+  entirely: their scatter is an exact one-hot matmul  E^T[r,q] @ grad_rows
+  on the MXU (E 0/1 is exact in bf16; grad rows go through the hi/lo split),
+  which also removes the worst RMW hazards — coarse levels are exactly where
+  ray-coherent consecutive queries collide on the same block row. Measured:
+  283.6 ms (round-2 S6) -> 236.2 ms (scratch S8 + MXU pair 0), max rel err
+  2.8e-6 vs the exact scalar path.
 
 Layout notes (learned the hard way): HBM-visible operands keep the QUERY axis
 minor — f32[L, Qp, 8]-style arrays are tile-padded T(8,128) by XLA (16-64x
@@ -26,6 +39,9 @@ to query-on-sublanes inside the kernel (Mosaic lowers these transposes
 natively). Trilinear lane weights are built by comparing each lane's static
 corner coordinate (sx = j>>5, sy = (j>>3)&3, sz = (j>>1)&3 for lane j)
 against the query's local cell position — elementwise VPU work, no gather.
+The within-level row id rides the spare lf[:, 3, :] slot as f32 (exact below
+2^24) so the backward's one-hot compare can see it as a vector; bf16 table
+rows were measured a no-op (the fetch loop is issue-bound, not byte-bound).
 """
 
 import functools
@@ -40,7 +56,8 @@ from lidarnerf_tpu.ops import block_hash as bh
 
 CHUNK = 4096
 UNROLL = 8
-SHARDS = 6  # hazard-chain interleaving width; 8 OOMs VMEM; tail of CHUNK % SHARDS rows is unrolled
+SHARDS = 8  # hazard-chain interleaving width (scratch accumulator copies)
+MXU_MAX_COLS = 1024  # one-hot scatter wins over scalar RMW up to ~1k rows
 
 
 def _eo_selector(transposed=False):
@@ -75,12 +92,33 @@ def _hilo_dot(a, E):
     ) + jax.lax.dot_general(lo, E, dn, preferred_element_type=jnp.float32)
 
 
+def _mxu_cols(spec):
+    """Per-level one-hot column budget for the dense-level MXU scatter.
+
+    Level l is MXU-eligible iff it is dense and its padded row count fits
+    both the budget and the per-level table block. Eligibility is a PREFIX
+    of the levels (scales grow monotonically), which lets the kernel branch
+    on the pair index.
+    """
+    cols = []
+    for level in spec.levels:
+        n = level.blocks_axis**3
+        npad = -(-n // 128) * 128
+        if level.dense and npad <= min(MXU_MAX_COLS, spec.blocks_per_level):
+            cols.append(npad)
+        else:
+            break
+    return tuple(cols)
+
+
 def _prep_inputs(x, spec):
     """XLA-side per-level prep.
 
     Returns:
         rows: [L * Q] int32 within-level block row ids (flat, chunk-indexed).
-        locfrac: [L, 4, Q] float32 = in-block position (px, py, pz, 0) per query.
+        locfrac: [L, 4, Q] float32 = (px, py, pz, row_id) per query — the
+            in-block position plus the row id replicated as f32 (exact below
+            2^24) for the backward's vector one-hot compare.
     """
     rows, lf = [], []
     for level in spec.levels:
@@ -102,24 +140,26 @@ def _prep_inputs(x, spec):
                 ^ b[:, 1] * np.uint32(bh._HASH_PRIMES[1])
                 ^ b[:, 2] * np.uint32(bh._HASH_PRIMES[2])
             )
-        rows.append((idx % np.uint32(spec.blocks_per_level)).astype(jnp.int32))
+        rid = (idx % np.uint32(spec.blocks_per_level)).astype(jnp.int32)
+        rows.append(rid)
         # in-block continuous position p = local + frac; trilinear weight along
         # an axis is then simply relu(1 - |corner - p|)
         pos_in_block = local.astype(jnp.float32) + frac
         lf.append(
             jnp.concatenate(
-                [pos_in_block.T, jnp.zeros((1, x.shape[0]), jnp.float32)], axis=0
+                [pos_in_block.T, rid[None, :].astype(jnp.float32)], axis=0
             )
         )  # [4, Q]
     return jnp.concatenate(rows), jnp.stack(lf)
 
 
 def _lane_weights(pos_in_block):
-    """[CHUNK, 4] (px, py, pz, 0) -> [CHUNK, 128] trilinear lane row.
+    """[CHUNK, 4] (px, py, pz, *) -> [CHUNK, 128] trilinear lane row.
 
     Per axis the weight of corner s for in-block position p is the tent
     function relu(1 - |s - p|): 1-frac at the floor corner, frac at the
-    ceil corner, 0 elsewhere — one fused VPU expression per axis.
+    ceil corner, 0 elsewhere — one fused VPU expression per axis. Column 3
+    (the row id) is ignored.
     """
     n = pos_in_block.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
@@ -133,29 +173,36 @@ def _lane_weights(pos_in_block):
     return w
 
 
+def _onehot_T(row_ids_f32, ncols):
+    """E^T[r, q] = 1 iff rows[q] == r — exact 0/1 in bf16. row_ids: [CHUNK] f32."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (ncols, row_ids_f32.shape[0]), 0)
+    ids = row_ids_f32[None, :].astype(jnp.int32)
+    return (r == ids).astype(jnp.bfloat16)
+
+
 # ------------------------------------------------------------------ forward
 
 
-def _fwd_kernel(idx0_ref, idx1_ref, lf_ref, table_ref, out_ref, rows_scratch):
-    """Paired-level forward: one grid step serves levels (2p, 2p+1).
+def _fwd_kernel_group(group, idx_refs, lf_ref, table_ref, out_ref, rows_scratch):
+    """GROUP-level forward body: one grid step serves `group` levels.
 
-    The two independent row fetches per loop iteration interleave in the
-    scalar pipeline (+~16% loop rate vs one level at a time), and every loop/
-    bookkeeping cycle is amortised over two rows. idx1 is pre-offset by B in
-    the prep so both fetches index the same two-level table block.
+    The independent row fetches per loop iteration interleave in the scalar
+    pipeline, amortising every loop/bookkeeping cycle over `group` rows.
+    idx streams are pre-offset so each indexes its level within the
+    group-level table block.
     """
 
     def body(b, _):
         q0 = b * UNROLL
         for u in range(UNROLL):
-            rows_scratch[0, q0 + u, :] = table_ref[idx0_ref[q0 + u], :]
-            rows_scratch[1, q0 + u, :] = table_ref[idx1_ref[q0 + u], :]
+            for k in range(group):
+                rows_scratch[k, q0 + u, :] = table_ref[idx_refs[k][q0 + u], :]
         return 0
 
     jax.lax.fori_loop(0, CHUNK // UNROLL, body, 0)
 
     E = _eo_selector()
-    for lvl in range(2):
+    for lvl in range(group):
         lf = jnp.transpose(lf_ref[lvl], (1, 0))  # [CHUNK, 4]
         W = _lane_weights(lf)  # [CHUNK, 128]
         prod = rows_scratch[lvl] * W
@@ -166,10 +213,7 @@ def _fwd_kernel(idx0_ref, idx1_ref, lf_ref, table_ref, out_ref, rows_scratch):
 @functools.partial(jax.jit, static_argnames=("spec",))
 def encode_fwd_pallas(x, table, spec):
     """x: [Q, 3] in [0,1]; table: [L*B, 128] -> [Q, L*2] features."""
-    Q = x.shape[0]
-    pad = (-Q) % CHUNK
-    xp = jnp.pad(x, ((0, pad), (0, 0)))
-    rows, lf = _prep_inputs(xp, spec)  # [L*Qp], [L, 8, Qp]
+    rows, lf, Q = prep_inputs_padded(x, spec)
     return _fwd_from_prep(rows, lf, table, Q, spec)
 
 
@@ -182,40 +226,53 @@ def prep_inputs_padded(x, spec):
     return rows, lf, Q
 
 
+def _offset_rows(rows, L, Qp, B, group):
+    """Pre-offset row ids so stream k of a group indexes level k's sub-table."""
+    rows_g = rows.reshape(L, Qp)
+    rows_g = rows_g + (jnp.arange(L, dtype=jnp.int32) % group)[:, None] * np.int32(B)
+    return rows_g.reshape(-1)
+
+
 @functools.partial(jax.jit, static_argnames=("Q", "spec"))
 def _fwd_from_prep(rows, lf, table, Q, spec):
     Qp = lf.shape[-1]
     L = spec.num_levels
     B = spec.blocks_per_level
 
-    assert L % 2 == 0, "paired-level kernels require an even level count"
+    assert L % 2 == 0, "the grouped-level kernels require an even level count"
+    group = 4 if L % 4 == 0 else 2
     nchunks = Qp // CHUNK
-    # offset odd levels' row ids by B: each grid step loads a 2-level block
-    rows2 = rows.reshape(L, Qp)
-    rows2 = rows2 + (jnp.arange(L, dtype=jnp.int32) % 2)[:, None] * np.int32(B)
-    rows2 = rows2.reshape(-1)
+    rows_g = _offset_rows(rows, L, Qp, B, group)
+
+    def idx_spec(k):
+        return pl.BlockSpec(
+            (CHUNK,),
+            functools.partial(lambda k, p, i: ((group * p + k) * nchunks + i,), k),
+            memory_space=pltpu.SMEM,
+        )
+
+    def kernel(*refs):
+        idx_refs = refs[:group]
+        lf_ref, table_ref, out_ref, rows_scratch = refs[group:]
+        _fwd_kernel_group(group, idx_refs, lf_ref, table_ref, out_ref, rows_scratch)
+
     out = pl.pallas_call(
-        _fwd_kernel,
-        grid=(L // 2, nchunks),
-        in_specs=[
+        kernel,
+        grid=(L // group, nchunks),
+        in_specs=[idx_spec(k) for k in range(group)]
+        + [
             pl.BlockSpec(
-                (CHUNK,), lambda p, i: (2 * p * nchunks + i,), memory_space=pltpu.SMEM
+                (group, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (CHUNK,),
-                lambda p, i: ((2 * p + 1) * nchunks + i,),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec((2, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * B, 128), lambda p, i: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * B, 128), lambda p, i: (p, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (2, 2, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
+            (group, 2, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((L, 2, Qp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, CHUNK, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((group, CHUNK, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
-    )(rows2, rows2, lf, table)
+    )(*([rows_g] * group), lf, table)
     # [L, 2, Qp] -> [Qp, L*2]
     return jnp.transpose(out, (2, 0, 1)).reshape(Qp, L * 2)[:Q]
 
@@ -226,53 +283,89 @@ encode_fwd_from_prep = _fwd_from_prep
 # ----------------------------------------------------------------- backward
 
 
-def _bwd_kernel(idx0_ref, idx1_ref, lf_ref, g_ref, grad_ref, rows_scratch):
+def _make_bwd_kernel(spec, shards, mxu_cols):
     """Paired-level backward: grid step (p, i) accumulates levels (2p, 2p+1).
 
-    Two independent RMW chains per iteration (different level sub-tables)
-    pipeline alongside the shard interleaving.
+    Scalar path: two independent RMW chains per iteration (different level
+    sub-tables) pipeline alongside the shard interleaving into the scratch
+    accumulator. Dense coarse pairs (both levels in `mxu_cols`) instead
+    scatter on the MXU via exact one-hot matmuls into shard copy 0.
     """
+    B = spec.blocks_per_level
+    # pairs whose BOTH levels are MXU-eligible (eligibility is a level prefix)
+    n_mxu_pairs = len(mxu_cols) // 2
 
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        grad_ref[:] = jnp.zeros_like(grad_ref)
+    def kernel(idx0_ref, idx1_ref, lf_ref, g_ref, out_ref, rows_scratch, acc):
+        p = pl.program_id(0)
+        i = pl.program_id(1)
 
-    ET = _eo_selector(transposed=True)
-    for lvl in range(2):
-        lf = jnp.transpose(lf_ref[lvl], (1, 0))  # [CHUNK, 4]
-        W = _lane_weights(lf)  # [CHUNK, 128]
-        g = jnp.transpose(g_ref[lvl], (1, 0))  # [CHUNK, 2]
-        g_lane = _hilo_dot(g, ET)  # [CHUNK, 128] MXU lane broadcast
-        rows_scratch[lvl] = W * g_lane
+        @pl.when(i == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
 
-    nbody = CHUNK // SHARDS
+        ET = _eo_selector(transposed=True)
+        for lvl in range(2):
+            lf = jnp.transpose(lf_ref[lvl, :4], (1, 0))  # [CHUNK, 4]
+            W = _lane_weights(lf)  # [CHUNK, 128]
+            g = jnp.transpose(g_ref[lvl], (1, 0))  # [CHUNK, 2]
+            g_lane = _hilo_dot(g, ET)  # [CHUNK, 128] MXU lane broadcast
+            rows_scratch[lvl] = W * g_lane
 
-    def body(b, _):
-        q0 = b * SHARDS
-        for u in range(SHARDS):
-            i0 = idx0_ref[q0 + u]
-            i1 = idx1_ref[q0 + u]
-            grad_ref[u, i0, :] = grad_ref[u, i0, :] + rows_scratch[0, q0 + u, :]
-            grad_ref[u, i1, :] = grad_ref[u, i1, :] + rows_scratch[1, q0 + u, :]
-        return 0
+        for pp in range(n_mxu_pairs):
 
-    jax.lax.fori_loop(0, nbody, body, 0)
-    # CHUNK % SHARDS leftover rows, statically unrolled (one per shard copy)
-    for u in range(CHUNK - nbody * SHARDS):
-        q = nbody * SHARDS + u
-        i0 = idx0_ref[q]
-        i1 = idx1_ref[q]
-        grad_ref[u, i0, :] = grad_ref[u, i0, :] + rows_scratch[0, q, :]
-        grad_ref[u, i1, :] = grad_ref[u, i1, :] + rows_scratch[1, q, :]
+            @pl.when(p == pp)
+            def _(pp=pp):
+                for lvl in range(2):
+                    n = mxu_cols[2 * pp + lvl]
+                    Eoh = _onehot_T(lf_ref[lvl, 3, :], n)  # [n, CHUNK] 0/1
+                    gr = rows_scratch[lvl]  # [CHUNK, 128] f32
+                    ghi = gr.astype(jnp.bfloat16)
+                    glo = (gr - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    dn = (((1,), (0,)), ((), ()))
+                    upd = jax.lax.dot_general(
+                        Eoh, ghi, dn, preferred_element_type=jnp.float32
+                    ) + jax.lax.dot_general(
+                        Eoh, glo, dn, preferred_element_type=jnp.float32
+                    )
+                    o = lvl * B
+                    acc[0, o : o + n, :] = acc[0, o : o + n, :] + upd
+
+        @pl.when(p >= n_mxu_pairs)
+        def _():
+            nbody = CHUNK // shards
+
+            def body(b, _):
+                q0 = b * shards
+                for u in range(shards):
+                    i0 = idx0_ref[q0 + u]
+                    i1 = idx1_ref[q0 + u]
+                    acc[u, i0, :] = acc[u, i0, :] + rows_scratch[0, q0 + u, :]
+                    acc[u, i1, :] = acc[u, i1, :] + rows_scratch[1, q0 + u, :]
+                return 0
+
+            jax.lax.fori_loop(0, nbody, body, 0)
+            # CHUNK % shards leftover rows, statically unrolled (one per copy)
+            for u in range(CHUNK - (CHUNK // shards) * shards):
+                q = (CHUNK // shards) * shards + u
+                i0 = idx0_ref[q]
+                i1 = idx1_ref[q]
+                acc[u, i0, :] = acc[u, i0, :] + rows_scratch[0, q, :]
+                acc[u, i1, :] = acc[u, i1, :] + rows_scratch[1, q, :]
+
+        @pl.when(i == pl.num_programs(1) - 1)
+        def _():
+            total = acc[0]
+            for u in range(1, shards):
+                total = total + acc[u]
+            out_ref[:] = total
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
 def encode_bwd_pallas(x, g, spec):
     """x: [Q, 3]; g: [Q, L*2] feature grads -> grad table [L*B, 128]."""
-    Q = x.shape[0]
-    pad = (-Q) % CHUNK
-    xp = jnp.pad(x, ((0, pad), (0, 0)))
-    rows, lf = _prep_inputs(xp, spec)
+    rows, lf, _ = prep_inputs_padded(x, spec)
     return _bwd_from_prep(rows, lf, g, spec)
 
 
@@ -285,13 +378,12 @@ def _bwd_from_prep(rows, lf, g, spec):
     B = spec.blocks_per_level
     g_levels = gp.reshape(Qp, L, 2).transpose(1, 2, 0)  # [L, 2, Qp]
 
-    assert L % 2 == 0, "paired-level kernels require an even level count"
+    assert L % 2 == 0, "the grouped-level kernels require an even level count"
     nchunks = Qp // CHUNK
-    rows2 = rows.reshape(L, Qp)
-    rows2 = rows2 + (jnp.arange(L, dtype=jnp.int32) % 2)[:, None] * np.int32(B)
-    rows2 = rows2.reshape(-1)
-    shards = pl.pallas_call(
-        _bwd_kernel,
+    rows2 = _offset_rows(rows, L, Qp, B, 2)
+    kernel = _make_bwd_kernel(spec, SHARDS, _mxu_cols(spec))
+    return pl.pallas_call(
+        kernel,
         grid=(L // 2, nchunks),
         in_specs=[
             pl.BlockSpec(
@@ -306,13 +398,18 @@ def _bwd_from_prep(rows, lf, g, spec):
             pl.BlockSpec((2, 2, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (SHARDS, 2 * B, 128), lambda p, i: (0, p, 0), memory_space=pltpu.VMEM
+            (2 * B, 128), lambda p, i: (p, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((SHARDS, L * B, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, CHUNK, 128), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
+        out_shape=jax.ShapeDtypeStruct((L * B, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, 128), jnp.float32),
+            pltpu.VMEM((SHARDS, 2 * B, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
     )(rows2, rows2, lf, g_levels)
-    return shards.sum(axis=0)
 
 
 encode_bwd_from_prep = _bwd_from_prep
