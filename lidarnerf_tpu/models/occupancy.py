@@ -48,6 +48,7 @@ class OccConfig:
     density_thresh: float = 10.0  # reference --density_thresh default
     floor: float = 0.05  # uniform mixture fraction of the sampling PDF
     bins: int = 128  # per-ray CDF bins
+    dilate: int = 1  # binary-occupancy dilation radius (cells)
 
 
 def init_occ_grid(cfg: OccConfig) -> jnp.ndarray:
@@ -75,7 +76,16 @@ def update_occ_grid(module, params, grid, key, cfg: OccConfig, bound: float):
 
 
 def occ_bin_pdf(grid, rays_o, rays_d, nears, fars, cfg: OccConfig, bound: float):
-    """[N, bins] piecewise-constant sampling PDF along each ray."""
+    """[N, bins] piecewise-constant sampling PDF along each ray.
+
+    ``cfg.dilate`` max-pools the *binary* occupancy volume by that cell radius
+    before the along-ray lookup. The un-dilated bitfield undersamples exactly
+    where the --fast depth tail regressed (VALIDATION.md): surfaces within a
+    cell of a bin midpoint's empty cell, and rays grazing an occupied cell
+    between midpoints. One cell of dilation covers both (the cell edge
+    2*bound/G exceeds the bin width (far-near)/bins for the KITTI constants)
+    at the cost of a thin shell of extra samples around surfaces.
+    """
     G = cfg.grid_size
     K = cfg.bins
     t = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
@@ -85,9 +95,14 @@ def occ_bin_pdf(grid, rays_o, rays_d, nears, fars, cfg: OccConfig, bound: float)
         jnp.floor((x + bound) * (G / (2.0 * bound))).astype(jnp.int32), 0, G - 1
     )
     flat = (gi[..., 0] * G + gi[..., 1]) * G + gi[..., 2]  # [N, K]
-    occ = jnp.take(grid.reshape(-1), flat)
     thresh = jnp.minimum(jnp.mean(grid), cfg.density_thresh)
-    occ_b = (occ > thresh).astype(jnp.float32)
+    occ3 = (grid > thresh).astype(jnp.float32)
+    if cfg.dilate > 0:
+        k = 2 * cfg.dilate + 1
+        occ3 = jax.lax.reduce_window(
+            occ3, 0.0, jax.lax.max, (k, k, k), (1, 1, 1), "SAME"
+        )
+    occ_b = jnp.take(occ3.reshape(-1), flat)
     w = occ_b + 1e-8  # all-empty rays degrade to uniform
     pdf = w / jnp.sum(w, axis=-1, keepdims=True)
     return (1.0 - cfg.floor) * pdf + cfg.floor / K

@@ -128,6 +128,7 @@ class Trainer:
                 density_thresh=getattr(opt, "density_thresh", 10.0),
                 floor=getattr(opt, "occ_floor", 0.05),
                 bins=getattr(opt, "occ_bins", 128),
+                dilate=getattr(opt, "occ_dilate", 1),
             )
         self.render_cfg = RenderConfig(
             num_steps=opt.num_steps,
@@ -406,6 +407,17 @@ class Trainer:
         # fetch metrics once per epoch (no per-step device sync)
         losses = [float(m["loss"]) for m in pending]
         total_loss = float(np.sum(losses))
+        skips = [float(m.get("skipped_nonfinite", 0.0)) for m in pending]
+        if any(skips):
+            bad = [
+                self.global_step - len(skips) + 1 + i
+                for i, s in enumerate(skips) if s
+            ]
+            self.log(
+                f"[WARN] guarded_update skipped non-finite step(s) at global "
+                f"step(s) {bad}; losses {[losses[b - (self.global_step - len(skips) + 1)] for b in bad]} "
+                f"(params/opt state kept; see tools/repro_nonfinite.py)"
+            )
         if self.writer is not None:
             for i, lv in enumerate(losses):
                 self.writer.add_scalar(

@@ -30,8 +30,9 @@ Tradeoffs vs the reference layout (documented, deliberate):
 - hash collisions occur at block granularity.
 
 The Pallas kernels (block_hash_pallas.py) stream query chunks against
-VMEM-resident level tables: forward = scalar-loop row fetch + vectorised lerp
-(~220M rows/s), backward = sharded accumulate (~154M rows/s), ~300x the XLA
+VMEM-resident level tables: forward = quad-stream scalar row fetch +
+vectorised lerp (~365M rows/s), backward = scratch-sharded accumulate with an
+MXU one-hot scatter for dense coarse levels (~231M rows/s), ~300x the XLA
 scatter path this replaces.
 """
 

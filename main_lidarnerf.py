@@ -143,6 +143,13 @@ def get_arg_parser():
     parser.add_argument("--occ_floor", type=float, default=0.05)
     parser.add_argument("--occ_bins", type=int, default=128)
     parser.add_argument(
+        "--occ_dilate",
+        type=int,
+        default=1,
+        help="binary-occupancy dilation radius in grid cells; covers surfaces "
+        "near cell boundaries and grazing rays (the --fast depth-tail fix)",
+    )
+    parser.add_argument(
         "--fast",
         action="store_true",
         help="macro: --occ_sampling + num_steps 192 (4x fewer coarse samples; "

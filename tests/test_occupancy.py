@@ -34,7 +34,9 @@ class SlabField:
         raise NotImplementedError
 
 
-CFG = OccConfig(grid_size=32, bins=64, floor=0.05, density_thresh=10.0)
+# dilate=0 keeps the PDF bin-sharp for the exact-shape assertions below;
+# TestDilate covers the default dilate=1 behavior (the --fast depth-tail fix)
+CFG = OccConfig(grid_size=32, bins=64, floor=0.05, density_thresh=10.0, dilate=0)
 
 
 class TestGrid:
@@ -106,6 +108,43 @@ class TestPdf:
             occ_bin_pdf(slab_grid(), rays_o, rays_d, nears, fars, CFG, 1.0)
         )[0]
         np.testing.assert_allclose(pdf, 1.0 / CFG.bins, rtol=1e-4)
+
+
+class TestDilate:
+    def test_dilation_extends_occupancy_one_cell(self):
+        # slab cells [16:24] -> dilated [15:25]: x0 in (-1/16, 9/16)
+        cfg = OccConfig(grid_size=32, bins=64, floor=0.05, dilate=1)
+        rays_o = jnp.array([[-1.0, 0.1, 0.1]])
+        rays_d = jnp.array([[1.0, 0.0, 0.0]])
+        nears = jnp.full((1, 1), 1e-3)
+        fars = jnp.full((1, 1), 2.0)
+        pdf = np.asarray(occ_bin_pdf(slab_grid(), rays_o, rays_d, nears, fars, cfg, 1.0))[0]
+        t = (np.arange(cfg.bins) + 0.5) / cfg.bins * 2.0
+        dilated = (t > 1.0 - 1.0 / 16) & (t < 1.5 + 1.0 / 16)
+        assert pdf[dilated].sum() > 1.0 - cfg.floor - 1e-4
+        np.testing.assert_allclose(pdf[~dilated], cfg.floor / cfg.bins, rtol=1e-4)
+
+    def test_grazing_ray_covered_only_with_dilation(self):
+        """A ray skimming one cell above an occupied wall: undilated occupancy
+        sees nothing (the --fast boundary failure mode); dilate=1 covers it."""
+        g = np.zeros((32, 32, 32), np.float32)
+        g[16:24, :, 0:8] = 50.0  # wall below x2 = -0.5
+        g = jnp.asarray(g)
+        # ray along +x0 at x2 just above the wall (cell index 8)
+        rays_o = jnp.array([[-1.0, 0.1, -0.47]])
+        rays_d = jnp.array([[1.0, 0.0, 0.0]])
+        nears = jnp.full((1, 1), 1e-3)
+        fars = jnp.full((1, 1), 2.0)
+        cfg0 = OccConfig(grid_size=32, bins=64, floor=0.05, dilate=0)
+        cfg1 = OccConfig(grid_size=32, bins=64, floor=0.05, dilate=1)
+        pdf0 = np.asarray(occ_bin_pdf(g, rays_o, rays_d, nears, fars, cfg0, 1.0))[0]
+        pdf1 = np.asarray(occ_bin_pdf(g, rays_o, rays_d, nears, fars, cfg1, 1.0))[0]
+        t = (np.arange(64) + 0.5) / 64 * 2.0
+        near_wall = (t > 1.0) & (t < 1.5)
+        # undilated: uniform (ray misses every occupied cell)
+        np.testing.assert_allclose(pdf0, 1.0 / 64, rtol=1e-4)
+        # dilated: mass concentrates over the wall span
+        assert pdf1[near_wall].sum() > 0.7
 
 
 class TestZVals:

@@ -1,0 +1,458 @@
+"""Experiment 4: segment-skipping kernels exploiting ray coherence.
+
+Motivation (measured, tools/exp_kernels3.py + a host-side run-length study):
+consecutive queries in the real workload are consecutive samples along a ray,
+so at KITTI parity scale the same block row repeats for long runs at coarse
+and mid levels (avg run length per level, flagship spec, 832 samples/ray):
+
+  level    0    1    2    3    4    5    6    7    8   9   10  11  12-15
+  run    305  174  100   60   36   23   13    8    5   3    2  1.4   1.0
+
+The landed kernels fetch/RMW once *per query* (data-independent): 54.5M row
+ops fwd + 54.5M RMWs bwd per step. Segment-skipping does the work once *per
+run*: forward fetches a row once and stores it across the run; backward
+accumulates the run's gradient rows into vector registers and does ONE
+read-modify-write per run.
+
+Mechanics:
+  - XLA prep computes, per (level, chunk): next[q] = index of the next query
+    whose row differs (a reverse cumulative-min over flagged positions — no
+    scatter, no sort), and nseg = number of runs.
+  - the kernel walks segments with a dynamic-bound while/fori loop (verified
+    supported by Mosaic): s -> e = next[s], one fetch (fwd) or one RMW (bwd)
+    per segment, a store (fwd) or an in-register add (bwd) per query.
+  - per-chunk dynamic fallback: if nseg > CHUNK // NSEG_DIV the plain
+    per-query loop runs instead, so incoherent inputs (tests, MVL-style
+    shuffled rays, fine levels) never regress correctness and degrade
+    gracefully.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/exp_kernels4.py
+"""
+
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lidarnerf_tpu.ops import block_hash as bh
+from lidarnerf_tpu.ops import block_hash_pallas as bhp
+from lidarnerf_tpu.dataset.convert import pano_dirs
+
+CHUNK = bhp.CHUNK
+NSEG_DIV = 5  # segmented path wins while nseg < CHUNK / NSEG_DIV
+SEG_SCALE_MAX = 3000.0  # levels with scale above this never segment (run ~ 1)
+
+
+def timeit(fn, *args, iters=6, warmup=2):
+    for _ in range(warmup):
+        r = fn(*args)
+    float(jnp.sum(r[0] if isinstance(r, tuple) else r).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    float(jnp.sum(r[0] if isinstance(r, tuple) else r).ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+# --------------------------------------------------------------------- prep
+
+
+def seg_next(rows, L, Qp, chunk):
+    """rows: [L*Qp] int32 within-level row ids -> (next_ext [L*C, chunk+8]).
+
+    next[q] = first q' > q in the same chunk with rows[q'] != rows[q], else
+    chunk. Slot [chunk] carries nseg. Built with a reverse cumulative min —
+    O(Q log Q) vectorized, no scatter/sort.
+    """
+    C = Qp // chunk
+    r = rows.reshape(L * C, chunk)
+    flag = jnp.concatenate(
+        [jnp.ones_like(r[:, :1], jnp.bool_), r[:, 1:] != r[:, :-1]], axis=1
+    )
+    q = jnp.arange(chunk, dtype=jnp.int32)
+    c = jnp.where(flag, q[None, :], chunk)
+    # next[q] = min of c[q'] for q' > q  (reverse exclusive cummin)
+    rev = jnp.flip(c, axis=1)
+    cm = jax.lax.associative_scan(jnp.minimum, rev, axis=1)
+    nxt = jnp.flip(cm, axis=1)
+    nxt = jnp.concatenate([nxt[:, 1:], jnp.full_like(nxt[:, :1], chunk)], axis=1)
+    nseg = jnp.sum(flag.astype(jnp.int32), axis=1)  # [L*C]
+    ext = jnp.concatenate(
+        [nxt, nseg[:, None], jnp.zeros((L * C, 7), jnp.int32)], axis=1
+    )
+    return ext  # [L*C, chunk+8]
+
+
+# ------------------------------------------------------------ segmented fwd
+
+
+def make_fwd_seg(spec, group=4):
+    L, B = spec.num_levels, spec.blocks_per_level
+    assert L % group == 0
+    seg_ok = tuple(lev.scale <= SEG_SCALE_MAX for lev in spec.levels)
+
+    def kernel(*refs):
+        idx_refs = refs[:group]
+        next_refs = refs[group : 2 * group]
+        lf_ref, table_ref, out_ref, rows_scratch = refs[2 * group :]
+        p = pl.program_id(0)
+
+        for g in range(L // group):
+
+            @pl.when(p == g)
+            def _(g=g):
+                levels = list(range(g * group, (g + 1) * group))
+                seg_levels = [k for k in range(group) if seg_ok[levels[k]]]
+                plain_levels = [k for k in range(group) if not seg_ok[levels[k]]]
+
+                # statically-plain levels: interleaved multi-stream loop
+                if plain_levels:
+
+                    def body(b, _):
+                        q0 = b * bhp.UNROLL
+                        for u in range(bhp.UNROLL):
+                            for k in plain_levels:
+                                rows_scratch[k, q0 + u, :] = table_ref[
+                                    idx_refs[k][q0 + u], :
+                                ]
+                        return 0
+
+                    jax.lax.fori_loop(0, CHUNK // bhp.UNROLL, body, 0)
+
+                # segment-eligible levels: per-level dynamic choice
+                for k in seg_levels:
+                    nseg = next_refs[k][CHUNK]
+
+                    @pl.when(nseg <= CHUNK // NSEG_DIV)
+                    def _(k=k):
+                        def cond(s):
+                            return s < CHUNK
+
+                        def body(s):
+                            e = next_refs[k][s]
+                            r = table_ref[idx_refs[k][s], :]
+
+                            def inner(q, rr):
+                                rows_scratch[k, q, :] = rr
+                                return rr
+
+                            jax.lax.fori_loop(s, e, inner, r)
+                            return e
+
+                        jax.lax.while_loop(cond, body, 0)
+
+                    @pl.when(nseg > CHUNK // NSEG_DIV)
+                    def _(k=k):
+                        def body(b, _):
+                            q0 = b * bhp.UNROLL
+                            for u in range(bhp.UNROLL):
+                                rows_scratch[k, q0 + u, :] = table_ref[
+                                    idx_refs[k][q0 + u], :
+                                ]
+                            return 0
+
+                        jax.lax.fori_loop(0, CHUNK // bhp.UNROLL, body, 0)
+
+        E = bhp._eo_selector()
+        for lvl in range(group):
+            lf = jnp.transpose(lf_ref[lvl, :4], (1, 0))
+            W = bhp._lane_weights(lf)
+            feats = bhp._hilo_dot(rows_scratch[lvl] * W, E)
+            out_ref[lvl, :, :] = jnp.transpose(feats, (1, 0))
+
+    @jax.jit
+    def fwd(rows, lf, next_ext, table):
+        Qp = lf.shape[-1]
+        nchunks = Qp // CHUNK
+        rows_g = rows.reshape(L, Qp)
+        rows_g = rows_g + (jnp.arange(L, dtype=jnp.int32) % group)[:, None] * np.int32(B)
+        rows_g = rows_g.reshape(-1)
+
+        def stream_spec(k, width):
+            return pl.BlockSpec(
+                (width,),
+                functools.partial(lambda k, p, i: ((group * p + k) * nchunks + i,), k),
+                memory_space=pltpu.SMEM,
+            )
+
+        return pl.pallas_call(
+            kernel,
+            grid=(L // group, nchunks),
+            in_specs=[stream_spec(k, CHUNK) for k in range(group)]
+            + [stream_spec(k, CHUNK + 8) for k in range(group)]
+            + [
+                pl.BlockSpec(
+                    (group, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (group * B, 128), lambda p, i: (p, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (group, 2, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((L, 2, Qp), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((group, CHUNK, 128), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
+        )(
+            *[rows_g] * group,
+            *[next_ext.reshape(-1)] * group,
+            lf,
+            table,
+        )
+
+    return fwd
+
+
+# ------------------------------------------------------------ segmented bwd
+
+
+def make_bwd_seg(spec, shards, mxu_cols):
+    B = spec.blocks_per_level
+    n_mxu_pairs = len(mxu_cols) // 2
+    seg_ok = tuple(lev.scale <= SEG_SCALE_MAX for lev in spec.levels)
+    L = spec.num_levels
+
+    def kernel(idx0_ref, idx1_ref, next0_ref, next1_ref, lf_ref, g_ref, out_ref,
+               rows_scratch, acc):
+        p = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        ET = bhp._eo_selector(transposed=True)
+        for lvl in range(2):
+            lf = jnp.transpose(lf_ref[lvl, :4], (1, 0))
+            W = bhp._lane_weights(lf)
+            g = jnp.transpose(g_ref[lvl], (1, 0))
+            g_lane = bhp._hilo_dot(g, ET)
+            rows_scratch[lvl] = W * g_lane
+
+        for pp in range(n_mxu_pairs):
+
+            @pl.when(p == pp)
+            def _(pp=pp):
+                for lvl in range(2):
+                    n = mxu_cols[2 * pp + lvl]
+                    Eoh = bhp._onehot_T(lf_ref[lvl, 3, :], n)
+                    gr = rows_scratch[lvl]
+                    ghi = gr.astype(jnp.bfloat16)
+                    glo = (gr - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    dn = (((1,), (0,)), ((), ()))
+                    upd = jax.lax.dot_general(
+                        Eoh, ghi, dn, preferred_element_type=jnp.float32
+                    ) + jax.lax.dot_general(
+                        Eoh, glo, dn, preferred_element_type=jnp.float32
+                    )
+                    o = lvl * B
+                    acc[0, o : o + n, :] = acc[0, o : o + n, :] + upd
+
+        for pair in range(n_mxu_pairs, L // 2):
+            lv0, lv1 = 2 * pair, 2 * pair + 1
+
+            @pl.when(p == pair)
+            def _(pair=pair, lv0=lv0, lv1=lv1):
+                idx_r = (idx0_ref, idx1_ref)
+                next_r = (next0_ref, next1_ref)
+                for lvl in range(2):
+                    if not seg_ok[(lv0, lv1)[lvl]]:
+                        continue
+                    nseg = next_r[lvl][CHUNK]
+
+                    @pl.when(nseg <= CHUNK // NSEG_DIV)
+                    def _(lvl=lvl):
+                        def cond(s):
+                            return s < CHUNK
+
+                        def body(s):
+                            e = next_r[lvl][s]
+
+                            def inner(q, a):
+                                return a + rows_scratch[lvl, q, :]
+
+                            a = jax.lax.fori_loop(
+                                s, e, inner, jnp.zeros((128,), jnp.float32)
+                            )
+                            r0 = idx_r[lvl][s]
+                            acc[0, r0, :] = acc[0, r0, :] + a
+                            return e
+
+                        jax.lax.while_loop(cond, body, 0)
+
+                    @pl.when(nseg > CHUNK // NSEG_DIV)
+                    def _(lvl=lvl):
+                        nbody = CHUNK // shards
+
+                        def body(b, _):
+                            q0 = b * shards
+                            for u in range(shards):
+                                i0 = idx_r[lvl][q0 + u]
+                                acc[u, i0, :] = acc[u, i0, :] + rows_scratch[
+                                    lvl, q0 + u, :
+                                ]
+                            return 0
+
+                        jax.lax.fori_loop(0, nbody, body, 0)
+
+                # statically-plain levels of the pair: combined 2-stream loop
+                plain = [l for l in range(2) if not seg_ok[(lv0, lv1)[l]]]
+                if plain:
+                    nbody = CHUNK // shards
+
+                    def body(b, _):
+                        q0 = b * shards
+                        for u in range(shards):
+                            for l in plain:
+                                ii = idx_r[l][q0 + u]
+                                acc[u, ii, :] = acc[u, ii, :] + rows_scratch[
+                                    l, q0 + u, :
+                                ]
+                        return 0
+
+                    jax.lax.fori_loop(0, nbody, body, 0)
+
+        @pl.when(i == pl.num_programs(1) - 1)
+        def _():
+            total = acc[0]
+            for u in range(1, shards):
+                total = total + acc[u]
+            out_ref[:] = total
+
+    @jax.jit
+    def bwd(rows, lf, next_ext, g_levels):
+        Qp = lf.shape[-1]
+        nchunks = Qp // CHUNK
+        rows2 = rows.reshape(L, Qp)
+        rows2 = rows2 + (jnp.arange(L, dtype=jnp.int32) % 2)[:, None] * np.int32(B)
+        rows2 = rows2.reshape(-1)
+
+        def stream_spec(k, width):
+            return pl.BlockSpec(
+                (width,),
+                functools.partial(lambda k, p, i: ((2 * p + k) * nchunks + i,), k),
+                memory_space=pltpu.SMEM,
+            )
+
+        return pl.pallas_call(
+            kernel,
+            grid=(L // 2, nchunks),
+            in_specs=[
+                stream_spec(0, CHUNK),
+                stream_spec(1, CHUNK),
+                stream_spec(0, CHUNK + 8),
+                stream_spec(1, CHUNK + 8),
+                pl.BlockSpec(
+                    (2, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (2, 2, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (2 * B, 128), lambda p, i: (p, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((L * B, 128), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, CHUNK, 128), jnp.float32),
+                pltpu.VMEM((shards, 2 * B, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+        )(rows2, rows2, next_ext.reshape(-1), next_ext.reshape(-1), lf, g_levels)
+
+    return bwd
+
+
+# ------------------------------------------------------------------ driver
+
+
+def coherent_x(Q_rays=4096, S=832, scale=0.009914):
+    """KITTI-geometry ray-ordered query stream (the real training layout)."""
+    H, W = 66, 1030
+    dirs = pano_dirs(H, W, (2.0, 26.9)).reshape(-1, 3).astype(np.float32)
+    rng = np.random.RandomState(0)
+    sel = rng.choice(len(dirs), Q_rays, replace=False)
+    d = dirs[sel]
+    o = np.zeros_like(d)
+    o[:, 0] = 0.3
+    near, far = scale, scale * 81.0
+    t = near + (far - near) * (np.arange(S, dtype=np.float32) + 0.5) / S
+    x = o[:, None, :] + d[:, None, :] * t[None, :, None]
+    x = np.clip((x + 1.0) / 2.0, 0.0, 1.0).reshape(-1, 3)
+    return jnp.asarray(x)
+
+
+def main():
+    spec = bh.make_block_hash_spec(
+        num_levels=16, base_resolution=16, log2_hashmap_size=19,
+        desired_resolution=32768,
+    )
+    L = spec.num_levels
+    Q = 4096 * 832
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.randn(spec.table_rows, 128).astype(np.float32) * 1e-4)
+    g = jnp.asarray(rng.randn(Q, spec.output_dim).astype(np.float32))
+
+    for tag, x in (
+        ("coherent", coherent_x()),
+        ("random", jnp.asarray(rng.rand(Q, 3).astype(np.float32))),
+    ):
+        rows, lf, _ = bhp.prep_inputs_padded(x, spec)
+        Qp = lf.shape[-1]
+        gp = jnp.pad(g, ((0, Qp - Q), (0, 0)))
+        g_levels = jax.block_until_ready(
+            gp.reshape(Qp, L, 2).transpose(1, 2, 0)
+        )
+        next_ext = jax.block_until_ready(
+            jax.jit(functools.partial(seg_next, L=L, Qp=Qp, chunk=CHUNK))(rows)
+        )
+        nsegs = np.asarray(next_ext[:, CHUNK]).reshape(L, -1).mean(axis=1)
+        if tag == "coherent":
+            print("mean nseg/chunk per level:",
+                  " ".join(str(int(v)) for v in nsegs), flush=True)
+        tprep = timeit(
+            lambda: jax.jit(functools.partial(seg_next, L=L, Qp=Qp, chunk=CHUNK))(rows)
+        )
+        print(f"[{tag}] seg_next_prep_ms {tprep:.1f}", flush=True)
+
+        t = timeit(lambda: bhp._fwd_from_prep(rows, lf, table, Q, spec))
+        print(f"[{tag}] fwd_current_ms {t:.1f}", flush=True)
+        ref_fwd = bhp._fwd_from_prep(rows, lf, table, Q, spec)
+
+        try:
+            f = make_fwd_seg(spec)
+            t = timeit(lambda: f(rows, lf, next_ext, table))
+            out = f(rows, lf, next_ext, table)
+            out = jnp.transpose(out, (2, 0, 1)).reshape(-1, spec.output_dim)[:Q]
+            err = float(jnp.max(jnp.abs(out - ref_fwd)))
+            print(f"[{tag}] fwd_seg_ms {t:.1f}  maxabs_err {err:.3e}", flush=True)
+        except Exception as e:
+            print(f"[{tag}] fwd_seg FAILED: {str(e)[:300]}", flush=True)
+
+        cur = functools.partial(bhp._bwd_from_prep, spec=spec)
+        t = timeit(lambda: cur(rows, lf, g))
+        print(f"[{tag}] bwd_current_ms {t:.1f}", flush=True)
+        ref_bwd = cur(rows, lf, g)
+
+        try:
+            fb = make_bwd_seg(spec, bhp.SHARDS, bhp._mxu_cols(spec))
+            t = timeit(lambda: fb(rows, lf, next_ext, g_levels))
+            out = fb(rows, lf, next_ext, g_levels)
+            err = float(jnp.max(jnp.abs(out - ref_bwd)))
+            rel = err / (float(jnp.max(jnp.abs(ref_bwd))) + 1e-30)
+            print(f"[{tag}] bwd_seg_ms {t:.1f}  maxabs_err {err:.3e} rel {rel:.3e}",
+                  flush=True)
+        except Exception as e:
+            print(f"[{tag}] bwd_seg FAILED: {str(e)[:300]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
