@@ -238,14 +238,16 @@ def _encode_with_residuals(x01, table, spec, use_pallas):
     prefix = x01.shape[:-1]
     x = x01.reshape(-1, 3)
     if use_pallas and _on_tpu():
-        from lidarnerf_tpu.ops.block_hash_pallas import (
-            encode_fwd_from_prep,
-            prep_inputs_padded,
-        )
+        from lidarnerf_tpu.ops import block_hash_pallas as bhp
 
-        rows, lf, Q = prep_inputs_padded(x, spec)
-        out = encode_fwd_from_prep(rows, lf, table, Q, spec)
-        res = (rows, lf)
+        rows, lf, Q = bhp.prep_inputs_padded(x, spec)
+        if bhp.SEGMENTED:
+            nxt, nseg = bhp.seg_next(rows, spec.num_levels, lf.shape[-1])
+            out = bhp._fwd_seg_from_prep(rows, lf, nxt, nseg, table, Q, spec)
+            res = (rows, lf, nxt, nseg)
+        else:
+            out = bhp.encode_fwd_from_prep(rows, lf, table, Q, spec)
+            res = (rows, lf)
     else:
         out = _encode_xla(x, table, spec)
         res = None
@@ -268,10 +270,14 @@ def _encode_bwd(spec, use_pallas, residuals, g):
     g2 = jnp.where(oob, 0.0, g2)
 
     if use_pallas and _on_tpu():
-        from lidarnerf_tpu.ops.block_hash_pallas import encode_bwd_from_prep
+        from lidarnerf_tpu.ops import block_hash_pallas as bhp
 
-        rows, lf = res
-        grad_table = encode_bwd_from_prep(rows, lf, g2, spec)
+        if len(res) == 4:
+            rows, lf, nxt, nseg = res
+            grad_table = bhp._bwd_seg_from_prep(rows, lf, nxt, nseg, g2, spec)
+        else:
+            rows, lf = res
+            grad_table = bhp.encode_bwd_from_prep(rows, lf, g2, spec)
     else:
         grad_table = jnp.zeros(
             (spec.table_rows, ROW_WIDTH), jnp.float32

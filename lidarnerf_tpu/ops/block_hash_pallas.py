@@ -45,6 +45,7 @@ rows were measured a no-op (the fetch loop is issue-bound, not byte-bound).
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -58,6 +59,13 @@ CHUNK = 4096
 UNROLL = 8
 SHARDS = 8  # hazard-chain interleaving width (scratch accumulator copies)
 MXU_MAX_COLS = 1024  # one-hot scatter wins over scalar RMW up to ~1k rows
+
+# Segment-skipping kernels (see "segmented" section below): do row work once
+# per *run* of equal consecutive rows instead of once per query. Off until
+# measured faster on hardware; flip with LIDARNERF_SEG_KERNELS=1/0.
+SEGMENTED = os.environ.get("LIDARNERF_SEG_KERNELS", "0") == "1"
+NSEG_DIV = 5  # per-chunk dynamic fallback: segment only if nseg < CHUNK/5
+SEG_SCALE_MAX = 3000.0  # levels coarser than this can have runs >= 2
 
 
 def _eo_selector(transposed=False):
@@ -413,3 +421,326 @@ def _bwd_from_prep(rows, lf, g, spec):
 
 
 encode_bwd_from_prep = _bwd_from_prep
+
+
+# ------------------------------------------------- segmented (run-skipping)
+#
+# Consecutive queries in the real workload are consecutive samples along a
+# ray, so the same block row repeats for long runs at coarse/mid levels
+# (measured avg run at KITTI parity: 305/174/100/60/36/23/13/8/5/3/2 for
+# levels 0-10; tools/exp_kernels4.py). These kernels walk *segments* with
+# dynamic-bound loops — one table fetch (fwd) or one accumulator RMW (bwd)
+# per run, one store / in-register add per query — with a per-chunk dynamic
+# fallback to the plain per-query loop when the chunk is incoherent
+# (nseg > CHUNK // NSEG_DIV), so shuffled inputs degrade gracefully and
+# never lose correctness. Numerics: fwd is bit-exact vs the plain kernel;
+# bwd re-associates the per-row sum (measured 4.6e-7 rel vs plain).
+
+
+def seg_next(rows, L, Qp):
+    """rows: [L*Qp] int32 within-level row ids -> (next [L*C, CHUNK], nseg [L*C]).
+
+    next[q] = first q' > q in the same chunk with rows[q'] != rows[q], else
+    CHUNK. Built with a reverse cumulative min over flagged positions —
+    vectorized, no scatter/sort.
+    """
+    C = Qp // CHUNK
+    r = rows.reshape(L * C, CHUNK)
+    flag = jnp.concatenate(
+        [jnp.ones_like(r[:, :1], jnp.bool_), r[:, 1:] != r[:, :-1]], axis=1
+    )
+    q = jnp.arange(CHUNK, dtype=jnp.int32)
+    c = jnp.where(flag, q[None, :], CHUNK)
+    rev = jnp.flip(c, axis=1)
+    cm = jax.lax.associative_scan(jnp.minimum, rev, axis=1)
+    nxt = jnp.flip(cm, axis=1)
+    nxt = jnp.concatenate([nxt[:, 1:], jnp.full_like(nxt[:, :1], CHUNK)], axis=1)
+    nseg = jnp.sum(flag.astype(jnp.int32), axis=1)
+    return nxt, nseg
+
+
+def _seg_patterns(spec, group):
+    """Static (seg-eligible?) pattern per level group, collapsed to classes."""
+    seg_ok = tuple(lev.scale <= SEG_SCALE_MAX for lev in spec.levels)
+    patterns = {}
+    for g in range(spec.num_levels // group):
+        pat = tuple(seg_ok[g * group + k] for k in range(group))
+        patterns.setdefault(pat, []).append(g)
+    return patterns
+
+
+@functools.partial(jax.jit, static_argnames=("Q", "spec", "interpret"))
+def _fwd_seg_from_prep(rows, lf, nxt, nseg, table, Q, spec, interpret=False):
+    Qp = lf.shape[-1]
+    L = spec.num_levels
+    B = spec.blocks_per_level
+    assert L % 2 == 0, "the grouped-level kernels require an even level count"
+    group = 4 if L % 4 == 0 else 2
+    nchunks = Qp // CHUNK
+    rows_g = _offset_rows(rows, L, Qp, B, group)
+    patterns = _seg_patterns(spec, group)
+
+    def kernel(*refs, nchunks_s):
+        idx_refs = refs[:group]
+        next_refs = refs[group : 2 * group]
+        nseg_ref, lf_ref, table_ref, out_ref, rows_scratch = refs[2 * group :]
+        p = pl.program_id(0)
+        i = pl.program_id(1)
+
+        for pat, gs in patterns.items():
+            cond = p == gs[0]
+            for g2 in gs[1:]:
+                cond = cond | (p == g2)
+
+            @pl.when(cond)
+            def _(pat=pat):
+                seg_levels = [k for k in range(group) if pat[k]]
+                plain_levels = [k for k in range(group) if not pat[k]]
+
+                if plain_levels:
+
+                    def body(b, _):
+                        q0 = b * UNROLL
+                        for u in range(UNROLL):
+                            for k in plain_levels:
+                                rows_scratch[k, q0 + u, :] = table_ref[
+                                    idx_refs[k][q0 + u], :
+                                ]
+                        return 0
+
+                    jax.lax.fori_loop(0, CHUNK // UNROLL, body, 0)
+
+                for k in seg_levels:
+                    nseg_k = nseg_ref[(group * p + k) * nchunks_s + i]
+
+                    @pl.when(nseg_k <= CHUNK // NSEG_DIV)
+                    def _(k=k):
+                        def cond_s(s):
+                            return s < CHUNK
+
+                        def body_s(s):
+                            e = next_refs[k][s]
+                            r = table_ref[idx_refs[k][s], :]
+
+                            def inner(qq, rr):
+                                rows_scratch[k, qq, :] = rr
+                                return rr
+
+                            jax.lax.fori_loop(s, e, inner, r)
+                            # forced progress: corrupt next[] may mis-time
+                            # but must never hang the chip
+                            return jnp.maximum(e, s + 1)
+
+                        jax.lax.while_loop(cond_s, body_s, 0)
+
+                    @pl.when(nseg_k > CHUNK // NSEG_DIV)
+                    def _(k=k):
+                        def body(b, _):
+                            q0 = b * UNROLL
+                            for u in range(UNROLL):
+                                rows_scratch[k, q0 + u, :] = table_ref[
+                                    idx_refs[k][q0 + u], :
+                                ]
+                            return 0
+
+                        jax.lax.fori_loop(0, CHUNK // UNROLL, body, 0)
+
+        E = _eo_selector()
+        for lvl in range(group):
+            lf_l = jnp.transpose(lf_ref[lvl, :4], (1, 0))
+            W = _lane_weights(lf_l)
+            feats = _hilo_dot(rows_scratch[lvl] * W, E)
+            out_ref[lvl, :, :] = jnp.transpose(feats, (1, 0))
+
+    def stream_spec(k, width, stride):
+        return pl.BlockSpec(
+            (width,),
+            functools.partial(lambda k, p, i: ((stride * p + k) * nchunks + i,), k),
+            memory_space=pltpu.SMEM,
+        )
+
+    out = pl.pallas_call(
+        functools.partial(kernel, nchunks_s=nchunks),
+        grid=(L // group, nchunks),
+        in_specs=[stream_spec(k, CHUNK, group) for k in range(group)]
+        + [stream_spec(k, CHUNK, group) for k in range(group)]
+        + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (group, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((group * B, 128), lambda p, i: (p, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, 2, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, 2, Qp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((group, CHUNK, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(*([rows_g] * group), *([nxt.reshape(-1)] * group), nseg, lf, table)
+    return jnp.transpose(out, (2, 0, 1)).reshape(Qp, L * 2)[:Q]
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def _bwd_seg_from_prep(rows, lf, nxt, nseg, g, spec, interpret=False):
+    Qp = lf.shape[-1]
+    Q = g.shape[0]
+    gp = jnp.pad(g.astype(jnp.float32), ((0, Qp - Q), (0, 0)))
+    L = spec.num_levels
+    B = spec.blocks_per_level
+    g_levels = gp.reshape(Qp, L, 2).transpose(1, 2, 0)
+    assert L % 2 == 0, "the grouped-level kernels require an even level count"
+    nchunks = Qp // CHUNK
+    rows2 = _offset_rows(rows, L, Qp, B, 2)
+    mxu_cols = _mxu_cols(spec)
+    n_mxu_pairs = len(mxu_cols) // 2
+    seg_ok = tuple(lev.scale <= SEG_SCALE_MAX for lev in spec.levels)
+    shards = SHARDS
+
+    bpatterns = {}
+    for pair in range(n_mxu_pairs, L // 2):
+        pat = (seg_ok[2 * pair], seg_ok[2 * pair + 1])
+        bpatterns.setdefault(pat, []).append(pair)
+
+    def kernel(idx0_ref, idx1_ref, next0_ref, next1_ref, nseg_ref, lf_ref, g_ref,
+               out_ref, rows_scratch, acc, *, nchunks_s):
+        p = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        ET = _eo_selector(transposed=True)
+        for lvl in range(2):
+            lf_l = jnp.transpose(lf_ref[lvl, :4], (1, 0))
+            W = _lane_weights(lf_l)
+            g_l = jnp.transpose(g_ref[lvl], (1, 0))
+            g_lane = _hilo_dot(g_l, ET)
+            rows_scratch[lvl] = W * g_lane
+
+        for pp in range(n_mxu_pairs):
+
+            @pl.when(p == pp)
+            def _(pp=pp):
+                for lvl in range(2):
+                    n = mxu_cols[2 * pp + lvl]
+                    Eoh = _onehot_T(lf_ref[lvl, 3, :], n)
+                    gr = rows_scratch[lvl]
+                    ghi = gr.astype(jnp.bfloat16)
+                    glo = (gr - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    dn = (((1,), (0,)), ((), ()))
+                    upd = jax.lax.dot_general(
+                        Eoh, ghi, dn, preferred_element_type=jnp.float32
+                    ) + jax.lax.dot_general(
+                        Eoh, glo, dn, preferred_element_type=jnp.float32
+                    )
+                    o = lvl * B
+                    acc[0, o : o + n, :] = acc[0, o : o + n, :] + upd
+
+        idx_r = (idx0_ref, idx1_ref)
+        next_r = (next0_ref, next1_ref)
+        for pat, prs in bpatterns.items():
+            cond = p == prs[0]
+            for p2 in prs[1:]:
+                cond = cond | (p == p2)
+
+            @pl.when(cond)
+            def _(pat=pat):
+                for lvl in range(2):
+                    if not pat[lvl]:
+                        continue
+                    nseg_k = nseg_ref[(2 * p + lvl) * nchunks_s + i]
+
+                    @pl.when(nseg_k <= CHUNK // NSEG_DIV)
+                    def _(lvl=lvl):
+                        def cond_s(s):
+                            return s < CHUNK
+
+                        def body_s(s):
+                            e = next_r[lvl][s]
+
+                            def inner(qq, a):
+                                return a + rows_scratch[lvl, qq, :]
+
+                            a = jax.lax.fori_loop(
+                                s, e, inner, jnp.zeros((128,), jnp.float32)
+                            )
+                            r0 = idx_r[lvl][s]
+                            acc[0, r0, :] = acc[0, r0, :] + a
+                            return jnp.maximum(e, s + 1)
+
+                        jax.lax.while_loop(cond_s, body_s, 0)
+
+                    @pl.when(nseg_k > CHUNK // NSEG_DIV)
+                    def _(lvl=lvl):
+                        nbody = CHUNK // shards
+
+                        def body(b, _):
+                            q0 = b * shards
+                            for u in range(shards):
+                                i0 = idx_r[lvl][q0 + u]
+                                acc[u, i0, :] = acc[u, i0, :] + rows_scratch[
+                                    lvl, q0 + u, :
+                                ]
+                            return 0
+
+                        jax.lax.fori_loop(0, nbody, body, 0)
+
+                plain = [l for l in range(2) if not pat[l]]
+                if plain:
+                    nbody = CHUNK // shards
+
+                    def body(b, _):
+                        q0 = b * shards
+                        for u in range(shards):
+                            for l in plain:
+                                ii = idx_r[l][q0 + u]
+                                acc[u, ii, :] = acc[u, ii, :] + rows_scratch[
+                                    l, q0 + u, :
+                                ]
+                        return 0
+
+                    jax.lax.fori_loop(0, nbody, body, 0)
+
+        @pl.when(i == pl.num_programs(1) - 1)
+        def _():
+            total = acc[0]
+            for u in range(1, shards):
+                total = total + acc[u]
+            out_ref[:] = total
+
+    def stream_spec(k, width):
+        return pl.BlockSpec(
+            (width,),
+            functools.partial(lambda k, p, i: ((2 * p + k) * nchunks + i,), k),
+            memory_space=pltpu.SMEM,
+        )
+
+    return pl.pallas_call(
+        functools.partial(kernel, nchunks_s=nchunks),
+        grid=(L // 2, nchunks),
+        in_specs=[
+            stream_spec(0, CHUNK),
+            stream_spec(1, CHUNK),
+            stream_spec(0, CHUNK),
+            stream_spec(1, CHUNK),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * B, 128), lambda p, i: (p, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L * B, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, 128), jnp.float32),
+            pltpu.VMEM((SHARDS, 2 * B, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(rows2, rows2, nxt.reshape(-1), nxt.reshape(-1), nseg, lf, g_levels)

@@ -62,10 +62,10 @@ def timeit(fn, *args, iters=6, warmup=2):
 
 
 def seg_next(rows, L, Qp, chunk):
-    """rows: [L*Qp] int32 within-level row ids -> (next_ext [L*C, chunk+8]).
+    """rows: [L*Qp] int32 within-level row ids -> (next [L*C, chunk], nseg [L*C]).
 
     next[q] = first q' > q in the same chunk with rows[q'] != rows[q], else
-    chunk. Slot [chunk] carries nseg. Built with a reverse cumulative min —
+    chunk. Built with a reverse cumulative min —
     O(Q log Q) vectorized, no scatter/sort.
     """
     C = Qp // chunk
@@ -81,10 +81,7 @@ def seg_next(rows, L, Qp, chunk):
     nxt = jnp.flip(cm, axis=1)
     nxt = jnp.concatenate([nxt[:, 1:], jnp.full_like(nxt[:, :1], chunk)], axis=1)
     nseg = jnp.sum(flag.astype(jnp.int32), axis=1)  # [L*C]
-    ext = jnp.concatenate(
-        [nxt, nseg[:, None], jnp.zeros((L * C, 7), jnp.int32)], axis=1
-    )
-    return ext  # [L*C, chunk+8]
+    return nxt, nseg  # [L*C, chunk], [L*C]
 
 
 # ------------------------------------------------------------ segmented fwd
@@ -95,19 +92,29 @@ def make_fwd_seg(spec, group=4):
     assert L % group == 0
     seg_ok = tuple(lev.scale <= SEG_SCALE_MAX for lev in spec.levels)
 
-    def kernel(*refs):
+    # collapse groups into structural classes (same seg/plain stream pattern)
+    # so Mosaic compiles each distinct body once
+    patterns = {}
+    for g in range(L // group):
+        pat = tuple(seg_ok[g * group + k] for k in range(group))
+        patterns.setdefault(pat, []).append(g)
+
+    def kernel(*refs, nchunks_s):
         idx_refs = refs[:group]
         next_refs = refs[group : 2 * group]
-        lf_ref, table_ref, out_ref, rows_scratch = refs[2 * group :]
+        nseg_ref, lf_ref, table_ref, out_ref, rows_scratch = refs[2 * group :]
         p = pl.program_id(0)
+        i = pl.program_id(1)
 
-        for g in range(L // group):
+        for pat, gs in patterns.items():
+            cond = (p == gs[0])
+            for g2 in gs[1:]:
+                cond = cond | (p == g2)
 
-            @pl.when(p == g)
-            def _(g=g):
-                levels = list(range(g * group, (g + 1) * group))
-                seg_levels = [k for k in range(group) if seg_ok[levels[k]]]
-                plain_levels = [k for k in range(group) if not seg_ok[levels[k]]]
+            @pl.when(cond)
+            def _(pat=pat):
+                seg_levels = [k for k in range(group) if pat[k]]
+                plain_levels = [k for k in range(group) if not pat[k]]
 
                 # statically-plain levels: interleaved multi-stream loop
                 if plain_levels:
@@ -125,7 +132,7 @@ def make_fwd_seg(spec, group=4):
 
                 # segment-eligible levels: per-level dynamic choice
                 for k in seg_levels:
-                    nseg = next_refs[k][CHUNK]
+                    nseg = nseg_ref[(group * p + k) * nchunks_s + i]
 
                     @pl.when(nseg <= CHUNK // NSEG_DIV)
                     def _(k=k):
@@ -141,7 +148,9 @@ def make_fwd_seg(spec, group=4):
                                 return rr
 
                             jax.lax.fori_loop(s, e, inner, r)
-                            return e
+                            # forced progress: a corrupt next[] must never
+                            # hang the chip, only mis-time
+                            return jnp.maximum(e, s + 1)
 
                         jax.lax.while_loop(cond, body, 0)
 
@@ -165,7 +174,7 @@ def make_fwd_seg(spec, group=4):
             out_ref[lvl, :, :] = jnp.transpose(feats, (1, 0))
 
     @jax.jit
-    def fwd(rows, lf, next_ext, table):
+    def fwd(rows, lf, nxt, nseg, table):
         Qp = lf.shape[-1]
         nchunks = Qp // CHUNK
         rows_g = rows.reshape(L, Qp)
@@ -180,11 +189,12 @@ def make_fwd_seg(spec, group=4):
             )
 
         return pl.pallas_call(
-            kernel,
+            functools.partial(kernel, nchunks_s=nchunks),
             grid=(L // group, nchunks),
             in_specs=[stream_spec(k, CHUNK) for k in range(group)]
-            + [stream_spec(k, CHUNK + 8) for k in range(group)]
+            + [stream_spec(k, CHUNK) for k in range(group)]
             + [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(
                     (group, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
                 ),
@@ -200,7 +210,8 @@ def make_fwd_seg(spec, group=4):
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
         )(
             *[rows_g] * group,
-            *[next_ext.reshape(-1)] * group,
+            *[nxt.reshape(-1)] * group,
+            nseg,
             lf,
             table,
         )
@@ -217,8 +228,8 @@ def make_bwd_seg(spec, shards, mxu_cols):
     seg_ok = tuple(lev.scale <= SEG_SCALE_MAX for lev in spec.levels)
     L = spec.num_levels
 
-    def kernel(idx0_ref, idx1_ref, next0_ref, next1_ref, lf_ref, g_ref, out_ref,
-               rows_scratch, acc):
+    def kernel(idx0_ref, idx1_ref, next0_ref, next1_ref, nseg_ref, lf_ref, g_ref,
+               out_ref, rows_scratch, acc, *, nchunks_s):
         p = pl.program_id(0)
         i = pl.program_id(1)
 
@@ -253,17 +264,24 @@ def make_bwd_seg(spec, shards, mxu_cols):
                     o = lvl * B
                     acc[0, o : o + n, :] = acc[0, o : o + n, :] + upd
 
+        bpatterns = {}
         for pair in range(n_mxu_pairs, L // 2):
-            lv0, lv1 = 2 * pair, 2 * pair + 1
+            pat = (seg_ok[2 * pair], seg_ok[2 * pair + 1])
+            bpatterns.setdefault(pat, []).append(pair)
 
-            @pl.when(p == pair)
-            def _(pair=pair, lv0=lv0, lv1=lv1):
+        for pat, prs in bpatterns.items():
+            cond = (p == prs[0])
+            for p2 in prs[1:]:
+                cond = cond | (p == p2)
+
+            @pl.when(cond)
+            def _(pat=pat):
                 idx_r = (idx0_ref, idx1_ref)
                 next_r = (next0_ref, next1_ref)
                 for lvl in range(2):
-                    if not seg_ok[(lv0, lv1)[lvl]]:
+                    if not pat[lvl]:
                         continue
-                    nseg = next_r[lvl][CHUNK]
+                    nseg = nseg_ref[(2 * p + lvl) * nchunks_s + i]
 
                     @pl.when(nseg <= CHUNK // NSEG_DIV)
                     def _(lvl=lvl):
@@ -281,7 +299,7 @@ def make_bwd_seg(spec, shards, mxu_cols):
                             )
                             r0 = idx_r[lvl][s]
                             acc[0, r0, :] = acc[0, r0, :] + a
-                            return e
+                            return jnp.maximum(e, s + 1)
 
                         jax.lax.while_loop(cond, body, 0)
 
@@ -301,7 +319,7 @@ def make_bwd_seg(spec, shards, mxu_cols):
                         jax.lax.fori_loop(0, nbody, body, 0)
 
                 # statically-plain levels of the pair: combined 2-stream loop
-                plain = [l for l in range(2) if not seg_ok[(lv0, lv1)[l]]]
+                plain = [l for l in range(2) if not pat[l]]
                 if plain:
                     nbody = CHUNK // shards
 
@@ -325,7 +343,7 @@ def make_bwd_seg(spec, shards, mxu_cols):
             out_ref[:] = total
 
     @jax.jit
-    def bwd(rows, lf, next_ext, g_levels):
+    def bwd(rows, lf, nxt, nseg, g_levels):
         Qp = lf.shape[-1]
         nchunks = Qp // CHUNK
         rows2 = rows.reshape(L, Qp)
@@ -340,13 +358,14 @@ def make_bwd_seg(spec, shards, mxu_cols):
             )
 
         return pl.pallas_call(
-            kernel,
+            functools.partial(kernel, nchunks_s=nchunks),
             grid=(L // 2, nchunks),
             in_specs=[
                 stream_spec(0, CHUNK),
                 stream_spec(1, CHUNK),
-                stream_spec(0, CHUNK + 8),
-                stream_spec(1, CHUNK + 8),
+                stream_spec(0, CHUNK),
+                stream_spec(1, CHUNK),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(
                     (2, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
                 ),
@@ -366,7 +385,7 @@ def make_bwd_seg(spec, shards, mxu_cols):
                 vmem_limit_bytes=128 * 1024 * 1024,
                 dimension_semantics=("arbitrary", "arbitrary"),
             ),
-        )(rows2, rows2, next_ext.reshape(-1), next_ext.reshape(-1), lf, g_levels)
+        )(rows2, rows2, nxt.reshape(-1), nxt.reshape(-1), nseg, lf, g_levels)
 
     return bwd
 
@@ -396,9 +415,34 @@ def main():
         desired_resolution=32768,
     )
     L = spec.num_levels
-    Q = 4096 * 832
     rng = np.random.RandomState(0)
     table = jnp.asarray(rng.randn(spec.table_rows, 128).astype(np.float32) * 1e-4)
+
+    # fast smoke on a small coherent stream first: correctness + no hang
+    Qs = 64 * 832
+    xs = coherent_x(Q_rays=64)
+    g_s = jnp.asarray(rng.randn(Qs, spec.output_dim).astype(np.float32))
+    rows_s, lf_s, _ = bhp.prep_inputs_padded(xs, spec)
+    Qp_s = lf_s.shape[-1]
+    gp_s = jnp.pad(g_s, ((0, Qp_s - Qs), (0, 0)))
+    gl_s = gp_s.reshape(Qp_s, L, 2).transpose(1, 2, 0)
+    nxt_s, nseg_s = jax.jit(functools.partial(seg_next, L=L, Qp=Qp_s, chunk=CHUNK))(rows_s)
+    print("smoke: compiling fwd_seg ...", flush=True)
+    f = make_fwd_seg(spec)
+    out = f(rows_s, lf_s, nxt_s, nseg_s, table)
+    out = jnp.transpose(out, (2, 0, 1)).reshape(-1, spec.output_dim)[:Qs]
+    ref = bhp._fwd_from_prep(rows_s, lf_s, table, Qs, spec)
+    print(f"smoke fwd_seg maxabs_err {float(jnp.max(jnp.abs(out - ref))):.3e}",
+          flush=True)
+    print("smoke: compiling bwd_seg ...", flush=True)
+    fb = make_bwd_seg(spec, bhp.SHARDS, bhp._mxu_cols(spec))
+    outb = fb(rows_s, lf_s, nxt_s, nseg_s, gl_s)
+    refb = bhp._bwd_from_prep(rows_s, lf_s, g_s, spec)
+    errb = float(jnp.max(jnp.abs(outb - refb)))
+    relb = errb / (float(jnp.max(jnp.abs(refb))) + 1e-30)
+    print(f"smoke bwd_seg maxabs_err {errb:.3e} rel {relb:.3e}", flush=True)
+
+    Q = 4096 * 832
     g = jnp.asarray(rng.randn(Q, spec.output_dim).astype(np.float32))
 
     for tag, x in (
@@ -411,10 +455,9 @@ def main():
         g_levels = jax.block_until_ready(
             gp.reshape(Qp, L, 2).transpose(1, 2, 0)
         )
-        next_ext = jax.block_until_ready(
-            jax.jit(functools.partial(seg_next, L=L, Qp=Qp, chunk=CHUNK))(rows)
-        )
-        nsegs = np.asarray(next_ext[:, CHUNK]).reshape(L, -1).mean(axis=1)
+        nxt, nseg = jax.jit(functools.partial(seg_next, L=L, Qp=Qp, chunk=CHUNK))(rows)
+        jax.block_until_ready(nxt)
+        nsegs = np.asarray(nseg).reshape(L, -1).mean(axis=1)
         if tag == "coherent":
             print("mean nseg/chunk per level:",
                   " ".join(str(int(v)) for v in nsegs), flush=True)
@@ -429,8 +472,8 @@ def main():
 
         try:
             f = make_fwd_seg(spec)
-            t = timeit(lambda: f(rows, lf, next_ext, table))
-            out = f(rows, lf, next_ext, table)
+            t = timeit(lambda: f(rows, lf, nxt, nseg, table))
+            out = f(rows, lf, nxt, nseg, table)
             out = jnp.transpose(out, (2, 0, 1)).reshape(-1, spec.output_dim)[:Q]
             err = float(jnp.max(jnp.abs(out - ref_fwd)))
             print(f"[{tag}] fwd_seg_ms {t:.1f}  maxabs_err {err:.3e}", flush=True)
@@ -444,8 +487,8 @@ def main():
 
         try:
             fb = make_bwd_seg(spec, bhp.SHARDS, bhp._mxu_cols(spec))
-            t = timeit(lambda: fb(rows, lf, next_ext, g_levels))
-            out = fb(rows, lf, next_ext, g_levels)
+            t = timeit(lambda: fb(rows, lf, nxt, nseg, g_levels))
+            out = fb(rows, lf, nxt, nseg, g_levels)
             err = float(jnp.max(jnp.abs(out - ref_bwd)))
             rel = err / (float(jnp.max(jnp.abs(ref_bwd))) + 1e-30)
             print(f"[{tag}] bwd_seg_ms {t:.1f}  maxabs_err {err:.3e} rel {rel:.3e}",
