@@ -442,7 +442,9 @@ def seg_next(rows, L, Qp):
 
     next[q] = first q' > q in the same chunk with rows[q'] != rows[q], else
     CHUNK. Built with a reverse cumulative min over flagged positions —
-    vectorized, no scatter/sort.
+    vectorized, no scatter/sort. Uses the lax.cummin primitive: the
+    equivalent associative_scan lowering hangs the TPU compiler on the
+    tunneled backend (round-3 finding), and cummin also kills the flips.
     """
     C = Qp // CHUNK
     r = rows.reshape(L * C, CHUNK)
@@ -451,9 +453,7 @@ def seg_next(rows, L, Qp):
     )
     q = jnp.arange(CHUNK, dtype=jnp.int32)
     c = jnp.where(flag, q[None, :], CHUNK)
-    rev = jnp.flip(c, axis=1)
-    cm = jax.lax.associative_scan(jnp.minimum, rev, axis=1)
-    nxt = jnp.flip(cm, axis=1)
+    nxt = jax.lax.cummin(c, axis=1, reverse=True)
     nxt = jnp.concatenate([nxt[:, 1:], jnp.full_like(nxt[:, :1], CHUNK)], axis=1)
     nseg = jnp.sum(flag.astype(jnp.int32), axis=1)
     return nxt, nseg
