@@ -245,6 +245,10 @@ def _encode_with_residuals(x01, table, spec, use_pallas):
             nxt, nseg = bhp.seg_next(rows, spec.num_levels, lf.shape[-1])
             out = bhp._fwd_seg_from_prep(rows, lf, nxt, nseg, table, Q, spec)
             res = (rows, lf, nxt, nseg)
+        elif bhp.WINDOWED:
+            flags = bhp.pack_win_flags(rows, spec.num_levels, lf.shape[-1])
+            out = bhp._fwd_win_from_prep(rows, lf, flags, table, Q, spec)
+            res = (rows, lf, flags)
         else:
             out = bhp.encode_fwd_from_prep(rows, lf, table, Q, spec)
             res = (rows, lf)
@@ -275,6 +279,9 @@ def _encode_bwd(spec, use_pallas, residuals, g):
         if len(res) == 4:
             rows, lf, nxt, nseg = res
             grad_table = bhp._bwd_seg_from_prep(rows, lf, nxt, nseg, g2, spec)
+        elif len(res) == 3:
+            rows, lf, flags = res
+            grad_table = bhp._bwd_win_from_prep(rows, lf, flags, g2, spec)
         else:
             rows, lf = res
             grad_table = bhp.encode_bwd_from_prep(rows, lf, g2, spec)

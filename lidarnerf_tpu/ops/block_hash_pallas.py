@@ -67,6 +67,11 @@ SEGMENTED = os.environ.get("LIDARNERF_SEG_KERNELS", "0") == "1"
 NSEG_DIV = 5  # per-chunk dynamic fallback: segment only if nseg < CHUNK/5
 SEG_SCALE_MAX = 3000.0  # levels coarser than this can have runs >= 2
 
+# Windowed (run-collapsing) kernels — see the "windowed" section: static
+# per-level window sizes with precomputed uniformity flags; one branch per
+# window, all loop bounds static. Flip with LIDARNERF_WIN_KERNELS=1/0.
+WINDOWED = os.environ.get("LIDARNERF_WIN_KERNELS", "0") == "1"
+
 
 def _eo_selector(transposed=False):
     """Static even/odd lane selector matrix for the MXU channel reduction.
@@ -241,8 +246,8 @@ def _offset_rows(rows, L, Qp, B, group):
     return rows_g.reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("Q", "spec"))
-def _fwd_from_prep(rows, lf, table, Q, spec):
+@functools.partial(jax.jit, static_argnames=("Q", "spec", "interpret"))
+def _fwd_from_prep(rows, lf, table, Q, spec, interpret=False):
     Qp = lf.shape[-1]
     L = spec.num_levels
     B = spec.blocks_per_level
@@ -280,6 +285,7 @@ def _fwd_from_prep(rows, lf, table, Q, spec):
         out_shape=jax.ShapeDtypeStruct((L, 2, Qp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((group, CHUNK, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
     )(*([rows_g] * group), lf, table)
     # [L, 2, Qp] -> [Qp, L*2]
     return jnp.transpose(out, (2, 0, 1)).reshape(Qp, L * 2)[:Q]
@@ -744,3 +750,365 @@ def _bwd_seg_from_prep(rows, lf, nxt, nseg, g, spec, interpret=False):
         ),
         interpret=interpret,
     )(rows2, rows2, nxt.reshape(-1), nxt.reshape(-1), nseg, lf, g_levels)
+
+
+# ------------------------------------------------- windowed (run-collapsing)
+#
+# Second attempt at exploiting ray coherence after the segmented kernels
+# (above) measured 2x SLOWER on hardware: their data-dependent while/fori
+# loop bounds do not pipeline on the in-order scalar core. The windowed
+# kernels keep every loop trip-count STATIC and instead take one scalar
+# branch per fixed window of w consecutive queries: a precomputed flag says
+# whether all w queries hit the same block row, and if so the window's row
+# work collapses to
+#   forward:  1 fetch + one [w, 128] broadcast tile store   (vs w fetch+store)
+#   backward: one [w, 128] tile load + sublane reduce + 1 RMW (vs w RMWs)
+# with the plain per-query loop as the in-line else-branch, so shuffled
+# streams degrade by one predictable branch per window and never lose
+# correctness. Window sizes are chosen statically per level from the level
+# scale (coarser level => longer expected run; measured mean runs at KITTI
+# parity: 216/89/55/34/22/13/8/5/3/2 for levels 1..10): w=8 below scale
+# 260, w=4 below 700, w=2 below 2700, else the plain loop. Flags for all
+# three granularities are packed into one int32 per 8-query window (bit 0:
+# uniform-8; bits 1-2: the two uniform-4 halves; bits 3-6: the four
+# uniform-2 quarters), so a single SMEM stream per level serves every
+# class. Numerics: forward is bit-exact (same fetched row); backward
+# reassociates the per-window sum (tree reduce before the accumulate).
+
+WIN_SCALE_8 = 260.0
+WIN_SCALE_4 = 700.0
+WIN_SCALE_2 = 2700.0
+WB = 8  # flag-packing / body granularity (queries per scalar-loop body)
+
+
+def _win_of_level(scale):
+    if scale <= WIN_SCALE_8:
+        return 8
+    if scale <= WIN_SCALE_4:
+        return 4
+    if scale <= WIN_SCALE_2:
+        return 2
+    return 1
+
+
+def pack_win_flags(rows, L, Qp):
+    """rows: [L*Qp] int32 -> [L * (Qp//WB)] int32 packed uniformity flags."""
+    r = rows.reshape(L * (Qp // WB), WB)
+    eq = r[:, 1:] == r[:, :-1]  # [*, 7] adjacent equality
+    u2 = eq[:, 0::2]  # pairs (0,1) (2,3) (4,5) (6,7) -> [*, 4]
+    u4_0 = u2[:, 0] & u2[:, 1] & eq[:, 1]
+    u4_1 = u2[:, 2] & u2[:, 3] & eq[:, 5]
+    u8 = u4_0 & u4_1 & eq[:, 3]
+    f = (
+        u8.astype(jnp.int32)
+        + u4_0.astype(jnp.int32) * 2
+        + u4_1.astype(jnp.int32) * 4
+        + u2[:, 0].astype(jnp.int32) * 8
+        + u2[:, 1].astype(jnp.int32) * 16
+        + u2[:, 2].astype(jnp.int32) * 32
+        + u2[:, 3].astype(jnp.int32) * 64
+    )
+    return f
+
+
+def _win_bit(w, s):
+    """Flag bit for subwindow s of size w within an 8-query window."""
+    if w == 8:
+        return 1
+    if w == 4:
+        return 2 << s
+    return 8 << s
+
+
+def _wins_patterns(spec, group, skip_pairs=0):
+    """Map pl.program_id(0) -> static per-level window tuple, collapsed to
+    pattern classes so distinct tuples each get one specialized body."""
+    patterns = {}
+    for g in range(skip_pairs, spec.num_levels // group):
+        pat = tuple(
+            _win_of_level(spec.levels[g * group + k].scale) for k in range(group)
+        )
+        patterns.setdefault(pat, []).append(g)
+    return patterns
+
+
+def _fwd_win_body(group, wins, idx_refs, flag_refs, table_ref, rows_scratch):
+    """Slot-interleaved windowed fetch phase for one level group."""
+
+    def body(b, _):
+        q0 = b * WB
+        for j in range(WB):
+            for k in range(group):
+                w = wins[k]
+                if w == 1:
+                    rows_scratch[k, q0 + j, :] = table_ref[idx_refs[k][q0 + j], :]
+                elif j % w == 0:
+                    s = j // w
+                    bit = _win_bit(w, s)
+                    f = flag_refs[k][b]
+                    qs = q0 + j
+
+                    @pl.when((f & bit) != 0)
+                    def _(k=k, qs=qs, w=w):
+                        r = table_ref[idx_refs[k][qs], :]
+                        rows_scratch[k, pl.ds(qs, w), :] = jnp.broadcast_to(
+                            r[None, :], (w, 128)
+                        )
+
+                    @pl.when((f & bit) == 0)
+                    def _(k=k, qs=qs, w=w):
+                        for u in range(w):
+                            rows_scratch[k, qs + u, :] = table_ref[
+                                idx_refs[k][qs + u], :
+                            ]
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK // WB, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("Q", "spec", "interpret"))
+def _fwd_win_from_prep(rows, lf, flags, table, Q, spec, interpret=False):
+    Qp = lf.shape[-1]
+    L = spec.num_levels
+    B = spec.blocks_per_level
+    assert L % 2 == 0, "the grouped-level kernels require an even level count"
+    group = 4 if L % 4 == 0 else 2
+    nchunks = Qp // CHUNK
+    rows_g = _offset_rows(rows, L, Qp, B, group)
+    patterns = _wins_patterns(spec, group)
+
+    def kernel(*refs):
+        idx_refs = refs[:group]
+        flag_refs = refs[group : 2 * group]
+        lf_ref, table_ref, out_ref, rows_scratch = refs[2 * group :]
+        p = pl.program_id(0)
+
+        for pat, gs in patterns.items():
+            cond = p == gs[0]
+            for g2 in gs[1:]:
+                cond = cond | (p == g2)
+
+            if all(w == 1 for w in pat):
+
+                @pl.when(cond)
+                def _():
+                    # plain interleaved fetch loop (identical to the
+                    # non-windowed kernel's phase 1)
+                    def body(b, _):
+                        q0 = b * UNROLL
+                        for u in range(UNROLL):
+                            for k in range(group):
+                                rows_scratch[k, q0 + u, :] = table_ref[
+                                    idx_refs[k][q0 + u], :
+                                ]
+                        return 0
+
+                    jax.lax.fori_loop(0, CHUNK // UNROLL, body, 0)
+
+            else:
+
+                @pl.when(cond)
+                def _(pat=pat):
+                    _fwd_win_body(
+                        group, pat, idx_refs, flag_refs, table_ref, rows_scratch
+                    )
+
+        E = _eo_selector()
+        for lvl in range(group):
+            lf_l = jnp.transpose(lf_ref[lvl], (1, 0))
+            W = _lane_weights(lf_l)
+            feats = _hilo_dot(rows_scratch[lvl] * W, E)
+            out_ref[lvl, :, :] = jnp.transpose(feats, (1, 0))
+
+    def stream_spec(k, width, stride):
+        return pl.BlockSpec(
+            (width,),
+            functools.partial(lambda k, p, i: ((stride * p + k) * nchunks + i,), k),
+            memory_space=pltpu.SMEM,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(L // group, nchunks),
+        in_specs=[stream_spec(k, CHUNK, group) for k in range(group)]
+        + [stream_spec(k, CHUNK // WB, group) for k in range(group)]
+        + [
+            pl.BlockSpec(
+                (group, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((group * B, 128), lambda p, i: (p, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, 2, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, 2, Qp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((group, CHUNK, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(*([rows_g] * group), *([flags] * group), lf, table)
+    return jnp.transpose(out, (2, 0, 1)).reshape(Qp, L * 2)[:Q]
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def _bwd_win_from_prep(rows, lf, flags, g, spec, interpret=False):
+    Qp = lf.shape[-1]
+    Q = g.shape[0]
+    gp = jnp.pad(g.astype(jnp.float32), ((0, Qp - Q), (0, 0)))
+    L = spec.num_levels
+    B = spec.blocks_per_level
+    g_levels = gp.reshape(Qp, L, 2).transpose(1, 2, 0)
+    assert L % 2 == 0, "the grouped-level kernels require an even level count"
+    nchunks = Qp // CHUNK
+    rows2 = _offset_rows(rows, L, Qp, B, 2)
+    mxu_cols = _mxu_cols(spec)
+    n_mxu_pairs = len(mxu_cols) // 2
+    shards = SHARDS
+    patterns = _wins_patterns(spec, 2, skip_pairs=n_mxu_pairs)
+
+    def kernel(idx0_ref, idx1_ref, flag0_ref, flag1_ref, lf_ref, g_ref, out_ref,
+               rows_scratch, acc):
+        p = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        ET = _eo_selector(transposed=True)
+        for lvl in range(2):
+            lf_l = jnp.transpose(lf_ref[lvl], (1, 0))
+            W = _lane_weights(lf_l)
+            g_l = jnp.transpose(g_ref[lvl], (1, 0))
+            g_lane = _hilo_dot(g_l, ET)
+            rows_scratch[lvl] = W * g_lane
+
+        for pp in range(n_mxu_pairs):
+
+            @pl.when(p == pp)
+            def _(pp=pp):
+                for lvl in range(2):
+                    n = mxu_cols[2 * pp + lvl]
+                    Eoh = _onehot_T(lf_ref[lvl, 3, :], n)
+                    gr = rows_scratch[lvl]
+                    ghi = gr.astype(jnp.bfloat16)
+                    glo = (gr - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    dn = (((1,), (0,)), ((), ()))
+                    upd = jax.lax.dot_general(
+                        Eoh, ghi, dn, preferred_element_type=jnp.float32
+                    ) + jax.lax.dot_general(
+                        Eoh, glo, dn, preferred_element_type=jnp.float32
+                    )
+                    o = lvl * B
+                    acc[0, o : o + n, :] = acc[0, o : o + n, :] + upd
+
+        idx_r = (idx0_ref, idx1_ref)
+        flag_r = (flag0_ref, flag1_ref)
+        for pat, prs in patterns.items():
+            cond = p == prs[0]
+            for p2 in prs[1:]:
+                cond = cond | (p == p2)
+
+            if all(w == 1 for w in pat):
+
+                @pl.when(cond)
+                def _():
+                    # plain shard-interleaved RMW loop
+                    def body(b, _):
+                        q0 = b * shards
+                        for u in range(shards):
+                            i0 = idx_r[0][q0 + u]
+                            i1 = idx_r[1][q0 + u]
+                            acc[u, i0, :] = acc[u, i0, :] + rows_scratch[0, q0 + u, :]
+                            acc[u, i1, :] = acc[u, i1, :] + rows_scratch[1, q0 + u, :]
+                        return 0
+
+                    jax.lax.fori_loop(0, CHUNK // shards, body, 0)
+                    for u in range(CHUNK - (CHUNK // shards) * shards):
+                        q = (CHUNK // shards) * shards + u
+                        i0 = idx_r[0][q]
+                        i1 = idx_r[1][q]
+                        acc[u, i0, :] = acc[u, i0, :] + rows_scratch[0, q, :]
+                        acc[u, i1, :] = acc[u, i1, :] + rows_scratch[1, q, :]
+
+            else:
+
+                @pl.when(cond)
+                def _(pat=pat):
+                    def body(b, _):
+                        q0 = b * WB
+                        for j in range(WB):
+                            for lvl in range(2):
+                                w = pat[lvl]
+                                # idx_r already carries the within-pair level
+                                # offset (_offset_rows with group=2)
+                                if w == 1:
+                                    cu = (b + j) % shards
+                                    ii = idx_r[lvl][q0 + j]
+                                    acc[cu, ii, :] = acc[cu, ii, :] + rows_scratch[
+                                        lvl, q0 + j, :
+                                    ]
+                                elif j % w == 0:
+                                    s = j // w
+                                    bit = _win_bit(w, s)
+                                    f = flag_r[lvl][b]
+                                    qs = q0 + j
+                                    cu = (b + s) % shards
+
+                                    @pl.when((f & bit) != 0)
+                                    def _(lvl=lvl, qs=qs, w=w, cu=cu):
+                                        tile = rows_scratch[lvl, pl.ds(qs, w), :]
+                                        v = jnp.sum(tile, axis=0)
+                                        ii = idx_r[lvl][qs]
+                                        acc[cu, ii, :] = acc[cu, ii, :] + v
+
+                                    @pl.when((f & bit) == 0)
+                                    def _(lvl=lvl, qs=qs, w=w, j=j, b=b):
+                                        for u in range(w):
+                                            cu2 = (b + j + u) % shards
+                                            ii = idx_r[lvl][qs + u]
+                                            acc[cu2, ii, :] = acc[
+                                                cu2, ii, :
+                                            ] + rows_scratch[lvl, qs + u, :]
+                        return 0
+
+                    jax.lax.fori_loop(0, CHUNK // WB, body, 0)
+
+        @pl.when(i == pl.num_programs(1) - 1)
+        def _():
+            total = acc[0]
+            for u in range(1, shards):
+                total = total + acc[u]
+            out_ref[:] = total
+
+    def stream_spec(k, width):
+        return pl.BlockSpec(
+            (width,),
+            functools.partial(lambda k, p, i: ((2 * p + k) * nchunks + i,), k),
+            memory_space=pltpu.SMEM,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(L // 2, nchunks),
+        in_specs=[
+            stream_spec(0, CHUNK),
+            stream_spec(1, CHUNK),
+            stream_spec(0, CHUNK // WB),
+            stream_spec(1, CHUNK // WB),
+            pl.BlockSpec((2, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * B, 128), lambda p, i: (p, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L * B, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, 128), jnp.float32),
+            pltpu.VMEM((SHARDS, 2 * B, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(rows2, rows2, flags, flags, lf, g_levels)
