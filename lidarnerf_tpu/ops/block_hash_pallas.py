@@ -792,32 +792,38 @@ def _win_of_level(scale):
 
 
 def pack_win_flags(rows, L, Qp):
-    """rows: [L*Qp] int32 -> [L * (Qp//WB)] int32 packed uniformity flags."""
-    r = rows.reshape(L * (Qp // WB), WB)
-    eq = r[:, 1:] == r[:, :-1]  # [*, 7] adjacent equality
-    u2 = eq[:, 0::2]  # pairs (0,1) (2,3) (4,5) (6,7) -> [*, 4]
-    u4_0 = u2[:, 0] & u2[:, 1] & eq[:, 1]
-    u4_1 = u2[:, 2] & u2[:, 3] & eq[:, 5]
-    u8 = u4_0 & u4_1 & eq[:, 3]
-    f = (
-        u8.astype(jnp.int32)
-        + u4_0.astype(jnp.int32) * 2
-        + u4_1.astype(jnp.int32) * 4
-        + u2[:, 0].astype(jnp.int32) * 8
-        + u2[:, 1].astype(jnp.int32) * 16
-        + u2[:, 2].astype(jnp.int32) * 32
-        + u2[:, 3].astype(jnp.int32) * 64
-    )
-    return f
+    """rows: [L*Qp] int32 -> [L*Qp] int32 packed uniformity masks.
+
+    flag[i] bits (the kernel reads the flag at the END of a window, index
+    qs + w - 1):
+      bit 0: the 8 queries ending at i share one block row (uniform-8)
+      bit 1: the 4 queries ending at i are uniform          (uniform-4)
+      bit 2: the 2 queries ending at i are uniform          (uniform-2)
+    Built from lane-shifted ANDs of the adjacent-equality mask at FULL
+    resolution: a [*, WB]-minor reshape layout tile-pads 16x and measured
+    45.6 ms of XLA time, and a Qp/WB-wide SMEM stream violates the s32
+    T(1024) layout Mosaic requires — full-width masks fix both for a
+    handful of VPU passes.
+    """
+    r = rows.reshape(L * (Qp // CHUNK), CHUNK)
+    e = jnp.concatenate(
+        [jnp.zeros_like(r[:, :1], jnp.bool_), r[:, 1:] == r[:, :-1]], axis=1
+    )  # e[i]: r[i] == r[i-1] (False at chunk start: windows never straddle)
+
+    def sh(m, k):  # m[i-k], False-filled at the chunk start
+        return jnp.concatenate([jnp.zeros_like(m[:, :k]), m[:, :-k]], axis=1)
+
+    u2 = e
+    u4 = e & sh(e, 1) & sh(e, 2)  # 3 adjacent eqs ending at i
+    u8 = u4 & sh(e, 3) & sh(u4, 4)  # 7 adjacent eqs ending at i
+    return (
+        u8.astype(jnp.int32) + u4.astype(jnp.int32) * 2 + u2.astype(jnp.int32) * 4
+    ).reshape(-1)
 
 
-def _win_bit(w, s):
-    """Flag bit for subwindow s of size w within an 8-query window."""
-    if w == 8:
-        return 1
-    if w == 4:
-        return 2 << s
-    return 8 << s
+def _win_bit(w):
+    """Flag bit for a uniform window of size w (read at index qs + w - 1)."""
+    return {8: 1, 4: 2, 2: 4}[w]
 
 
 def _wins_patterns(spec, group, skip_pairs=0):
@@ -843,10 +849,9 @@ def _fwd_win_body(group, wins, idx_refs, flag_refs, table_ref, rows_scratch):
                 if w == 1:
                     rows_scratch[k, q0 + j, :] = table_ref[idx_refs[k][q0 + j], :]
                 elif j % w == 0:
-                    s = j // w
-                    bit = _win_bit(w, s)
-                    f = flag_refs[k][b]
+                    bit = _win_bit(w)
                     qs = q0 + j
+                    f = flag_refs[k][qs + w - 1]
 
                     @pl.when((f & bit) != 0)
                     def _(k=k, qs=qs, w=w):
@@ -931,7 +936,7 @@ def _fwd_win_from_prep(rows, lf, flags, table, Q, spec, interpret=False):
         kernel,
         grid=(L // group, nchunks),
         in_specs=[stream_spec(k, CHUNK, group) for k in range(group)]
-        + [stream_spec(k, CHUNK // WB, group) for k in range(group)]
+        + [stream_spec(k, CHUNK, group) for k in range(group)]
         + [
             pl.BlockSpec(
                 (group, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM
@@ -1049,9 +1054,9 @@ def _bwd_win_from_prep(rows, lf, flags, g, spec, interpret=False):
                                     ]
                                 elif j % w == 0:
                                     s = j // w
-                                    bit = _win_bit(w, s)
-                                    f = flag_r[lvl][b]
+                                    bit = _win_bit(w)
                                     qs = q0 + j
+                                    f = flag_r[lvl][qs + w - 1]
                                     cu = (b + s) % shards
 
                                     @pl.when((f & bit) != 0)
@@ -1093,8 +1098,8 @@ def _bwd_win_from_prep(rows, lf, flags, g, spec, interpret=False):
         in_specs=[
             stream_spec(0, CHUNK),
             stream_spec(1, CHUNK),
-            stream_spec(0, CHUNK // WB),
-            stream_spec(1, CHUNK // WB),
+            stream_spec(0, CHUNK),
+            stream_spec(1, CHUNK),
             pl.BlockSpec((2, 4, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 2, CHUNK), lambda p, i: (p, 0, i), memory_space=pltpu.VMEM),
         ],

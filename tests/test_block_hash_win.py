@@ -45,9 +45,8 @@ def _prep(x):
 
 class TestPackWinFlags:
     def test_bits(self):
-        # window [5 5 5 5 5 5 5 5]: every bit set
-        # window [5 5 5 5 9 9 9 9]: u8 clear, both u4 + all u2 set
-        # window [5 9 9 9 9 9 9 2]: only u2 bits 4,5 (quarters 1,2) set
+        # stream: [5]*8 ++ [5,5,5,5,9,9,9,9] ++ [5,9,9,9,9,9,9,2] ++ 0s
+        # flags are read at the END index of a window (qs + w - 1)
         rows = jnp.asarray(
             np.concatenate([
                 np.array([5] * 8, np.int32),
@@ -57,9 +56,22 @@ class TestPackWinFlags:
             ])
         )
         f = np.asarray(bhp.pack_win_flags(rows, 1, bhp.CHUNK))
-        assert f[0] == 0b1111111
-        assert f[1] == 0b1111110
-        assert f[2] == 0b0110000
+        # window 0 ([5]*8): uniform at every granularity
+        assert f[7] & 1 and f[3] & 2 and f[7] & 2 and f[1] & 4
+        # window 1 (5,5,5,5,9,9,9,9): u8 clear, both u4 halves + all u2 set
+        assert not (f[15] & 1)
+        assert f[11] & 2 and f[15] & 2
+        assert f[9] & 4 and f[11] & 4 and f[13] & 4 and f[15] & 4
+        # window 2 (5,9,9,9,9,9,9,2): the 6-run of 9s is not 4-aligned, so
+        # both u4 halves clear; u2 quarters: (5,9) no, (9,9) yes, (9,9) yes,
+        # (9,2) no
+        assert not (f[23] & 1)
+        assert not (f[19] & 2) and not (f[23] & 2)
+        assert not (f[17] & 4)
+        assert f[19] & 4 and f[21] & 4 and not (f[23] & 4)
+        # chunk boundary: a run crossing the start of the stream can't claim
+        # uniformity through position 0
+        assert not (f[0] & 4)
 
     def test_window_classes_cover_all(self):
         ws = [bhp._win_of_level(lev.scale) for lev in SPEC.levels]

@@ -38,6 +38,9 @@ BASE = [
     "--scale", "0.009913937624654217",
     "--offset", "28.67044005924491", "0.0", "2.154948902130127",
     "--ckpt", "scratch",
+    # A/B metrics come from the eval meters; don't burn chip time on a
+    # full-res marching-cubes export per arm
+    "--mesh_resolution", "32",
 ]
 
 
@@ -86,7 +89,20 @@ def main():
     ap.add_argument("--eval_interval", type=int, default=1000000)
     ap.add_argument("--arms", nargs="+", required=True)
     ap.add_argument("--timeout", type=int, default=5400, help="per arm, seconds")
+    ap.add_argument(
+        "--small",
+        action="store_true",
+        help="round-2 encoder-A/B config (1024 rays, 256+32 samples, "
+        "desired_res 4096, log2 17) — the largest config the exact hashgrid "
+        "control trains at practical speed",
+    )
     args = ap.parse_args()
+
+    small = [
+        "--num_rays_lidar", "1024", "--num_steps", "256", "--upsample_steps",
+        "32", "--desired_resolution", "4096", "--log2_hashmap_size", "17",
+        "--max_ray_batch", "1024",
+    ] if args.small else []
 
     results = {}
     for tag in args.arms:
@@ -95,6 +111,7 @@ def main():
         argv = (
             [sys.executable, "-u", "main_lidarnerf.py"]
             + BASE
+            + small
             + ["--workspace", ws, "--iters", str(args.iters),
                "--eval_interval", str(args.eval_interval)]
             + ARMS[tag]
