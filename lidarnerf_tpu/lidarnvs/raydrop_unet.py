@@ -103,8 +103,9 @@ class UNetRaydropTrainer:
         momentum=0.999,
         gradient_clipping=1.0,
         seed=0,
+        bilinear=False,
     ):
-        self.model = UNet(n_channels=n_channels, n_classes=1)
+        self.model = UNet(n_channels=n_channels, n_classes=1, bilinear=bilinear)
         self.lr = learning_rate
         self.plateau = ReduceLROnPlateau()
         self._lr_scale = 1.0

@@ -3,10 +3,18 @@
 Surface-parity wrapper over lidarnerf_tpu.lidarnvs.raydrop_pcgen; mirrors
 /root/reference/lidarnvs/raydrop_train_pcgen.py's train() flow.
 """
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+
+# Same explicit platform override as main_lidarnerf.py: hosted TPU
+# environments force-register the TPU backend ahead of JAX_PLATFORMS.
+if os.environ.get("LIDARNERF_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["LIDARNERF_PLATFORM"])
 
 from lidarnerf_tpu.utils.config import ConfigArgumentParser
 from lidarnerf_tpu.lidarnvs.raydrop_pcgen import (

@@ -18,6 +18,13 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+import jax
+
+# Same explicit platform override as main_lidarnerf.py: hosted TPU
+# environments force-register the TPU backend ahead of JAX_PLATFORMS.
+if os.environ.get("LIDARNERF_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["LIDARNERF_PLATFORM"])
+
 from lidarnerf_tpu.lidarnvs.eval import eval_points_and_pano
 from lidarnerf_tpu.lidarnvs.loader import extract_dataset_frame
 from lidarnerf_tpu.lidarnvs.pcgen import LidarNVSPCGen, generate_raydrop_data_pcgen

@@ -185,6 +185,56 @@ class TestUNetRaydrop:
         assert np.isfinite(hist[0]["loss"])
         assert (tmp_path / "ckpt" / "checkpoint_epoch1.ckpt").exists()
 
+    def test_cli_smoke(self, tmp_path, monkeypatch):
+        """lidarnvs/raydrop_train_poisson.py end to end on tiny pickles
+        (reference CLI: raydrop_train_poisson.py:262-354). Runs main()
+        in-process (test_e2e.py pattern) to share the compile cache."""
+        import importlib
+        import pickle
+        import sys
+
+        rng = np.random.RandomState(1)
+        H, W = 16, 32
+
+        def frame():
+            return {
+                "hit_masks": rng.rand(H, W),
+                "hit_depths": rng.rand(H, W),
+                "hit_normals": rng.rand(H, W, 3),
+                "hit_incidences": rng.rand(H, W),
+                "intensities": rng.rand(H, W),
+                "rays_d": rng.rand(H, W, 3),
+                "raydrop_masks": (rng.rand(H, W) > 0.5).astype(np.float32),
+            }
+
+        for split, n in [("train", 2), ("test", 1)]:
+            with open(tmp_path / f"{split}_data.pkl", "wb") as f:
+                pickle.dump([frame() for _ in range(n)], f)
+
+        cli = importlib.import_module("lidarnvs.raydrop_train_poisson")
+        argv = [
+            "raydrop_train_poisson.py",
+            "--data_dir", str(tmp_path), "--ckpt_dir", str(tmp_path / "ckpt"),
+            "--epochs", "1", "--batch-size", "2", "--learning-rate", "1e-4",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        cli.main()
+        assert (tmp_path / "ckpt" / "checkpoint_epoch1.ckpt").exists()
+
+        # --load resumes from the checkpoint it just wrote
+        monkeypatch.setattr(
+            sys, "argv",
+            argv[:3] + ["--ckpt_dir", str(tmp_path / "ckpt2"), "--epochs", "1",
+                        "--load", str(tmp_path / "ckpt" / "checkpoint_epoch1.ckpt")],
+        )
+        cli.main()
+        assert (tmp_path / "ckpt2" / "checkpoint_epoch1.ckpt").exists()
+
+        # reference guard: only the single-class pipeline is reachable
+        monkeypatch.setattr(sys, "argv", argv + ["--classes", "2"])
+        with pytest.raises(SystemExit):
+            cli.main()
+
 
 def _install_fake_open3d(monkeypatch, radius=8.0):
     """Numpy-only open3d stand-in covering exactly the API surface meshing.py
