@@ -2,20 +2,45 @@
 
 Replaces the reference's sequential CUDA transmittance kernels
 (raymarching.cu kernel_composite_rays_train_*) and the torch cumprod path
-(renderer.py:233-243) with one vectorised cumulative product per ray — a
+(renderer.py:233-243) with vectorised log-space transmittance scans — a
 bandwidth-bound VPU op XLA fuses with the surrounding arithmetic.
+
+Numerics (round-4 hardening): the reference's cumprod(1 - alpha + 1e-15)
+form is forward-stable but its BACKWARD divides cotangents by the per-step
+factor — once a trained density saturates a step (alpha == 1.0 exactly in
+f32, i.e. delta*sigma > ~17), that division is by 1e-15 and the sigma-path
+gradients overflow to inf. The reference never sees this only because its
+CUDA composite kernels hand-write the backward recurrence
+(raymarching.cu:697-807) instead of differentiating the cumprod. Here the
+log-transmittance per step is computed directly from x = delta*sigma as
+logaddexp(-x, log(1e-15)) — identical forward value (it IS
+log(1 - alpha + 1e-15)), but its gradient -exp(-x)/(exp(-x) + 1e-15) is
+bounded in (-1, 0], so saturated steps send their transmittance gradient
+smoothly to zero instead of to inf. Found by round-4 forensics
+(tools/bisect_nonfinite.py): long-schedule runs skipped ~30% of steps from
+step ~140 with finite losses and inf grads confined to the sigma path.
 """
 
 import jax.numpy as jnp
+
+# log(1e-15): the transmittance floor, matching the reference's "+ 1e-15"
+_LOG_EPS = -34.538776394910684
+
+
+def _excl_cumsum(x):
+    c = jnp.cumsum(x, axis=-1)
+    return jnp.concatenate([jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
 
 
 def composite_weights(sigmas, z_vals, sample_dist, density_scale=1.0):
     """Per-sample compositing weights.
 
-    Mirrors renderer.py:233-243 exactly:
+    Matches renderer.py:233-243's values:
         deltas  = diff(z_vals) padded with sample_dist,
         alphas  = 1 - exp(-deltas * density_scale * sigma),
-        weights = alpha * cumprod([1, 1-alpha+1e-15])[:-1].
+        weights = alpha * cumprod([1, 1-alpha+1e-15])[:-1]
+    with the cumprod computed as exp(exclusive cumsum(logaddexp(-x, log eps)))
+    so saturated alphas keep bounded gradients (module docstring).
 
     Args:
         sigmas: [N, S] densities.
@@ -29,19 +54,14 @@ def composite_weights(sigmas, z_vals, sample_dist, density_scale=1.0):
     deltas = jnp.concatenate(
         [deltas, jnp.broadcast_to(sample_dist, deltas[..., :1].shape)], axis=-1
     )
-    alphas = 1.0 - jnp.exp(-deltas * density_scale * sigmas)
-    trans = jnp.cumprod(1.0 - alphas + 1e-15, axis=-1)
-    # shift right: T_i = prod_{j<i} (1 - a_j)
-    trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
-    return alphas * trans
+    x = deltas * density_scale * sigmas
+    alphas = 1.0 - jnp.exp(-x)
+    log_trans = jnp.logaddexp(-x, _LOG_EPS)  # == log(1 - alpha + 1e-15)
+    # T_i = prod_{j<i} (1 - a_j)
+    return alphas * jnp.exp(_excl_cumsum(log_trans))
 
 
 _INF = jnp.float32(jnp.inf)
-
-
-def _excl_cumsum(x):
-    c = jnp.cumsum(x, axis=-1)
-    return jnp.concatenate([jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
 
 
 def merged_composite_weights(zA, sigA, zB, sigB, sample_dist, density_scale=1.0):
@@ -97,10 +117,14 @@ def merged_composite_weights(zA, sigA, zB, sigB, sample_dist, density_scale=1.0)
     succB = jnp.minimum(nextB, minA_gt)
     deltaB = jnp.where(jnp.isinf(succB), sample_dist, succB - zB)
 
-    aA = 1.0 - jnp.exp(-deltaA * density_scale * sigA)
-    aB = 1.0 - jnp.exp(-deltaB * density_scale * sigB)
-    lA = jnp.log(1.0 - aA + 1e-15)
-    lB = jnp.log(1.0 - aB + 1e-15)
+    xA = deltaA * density_scale * sigA
+    xB = deltaB * density_scale * sigB
+    aA = 1.0 - jnp.exp(-xA)
+    aB = 1.0 - jnp.exp(-xB)
+    # log(1 - a + 1e-15) with bounded gradients at saturation (module
+    # docstring): d lA / d xA = -exp(-xA) / (exp(-xA) + 1e-15) in (-1, 0]
+    lA = jnp.logaddexp(-xA, _LOG_EPS)
+    lB = jnp.logaddexp(-xB, _LOG_EPS)
 
     # log T at A[i] = sum over predecessors: own-list exclusive cumsum plus
     # every B strictly before it (B < A); at B[j] the cross set is A <= B

@@ -345,6 +345,35 @@ class TestMergedCompositing:
         np.testing.assert_allclose(np.asarray(gA), np.asarray(oA), rtol=3e-4, atol=1e-6)
         np.testing.assert_allclose(np.asarray(gB), np.asarray(oB), rtol=3e-4, atol=1e-6)
 
+    def test_saturated_alpha_grads_finite(self):
+        """Regression (round 4): alpha == 1.0 exactly (delta*sigma > ~17, any
+        trained density) must NOT blow the backward up to inf. The old
+        cumprod/log(1-a+1e-15) forms amplified cotangents by 1e15 at
+        saturation; the logaddexp transmittance keeps d w / d sigma bounded.
+        Both compositing entry points, up to trunc_exp's max density e^80."""
+        from lidarnerf_tpu.ops.compositing import merged_composite_weights
+
+        for sat in (1e3, 1e9, 5.5e34):
+            z = jnp.linspace(0.1, 1.0, 24)[None, :].repeat(2, 0)
+            sig = jnp.full((2, 24), 3.0).at[:, 7].set(sat)
+            sd = jnp.full((2, 1), 1 / 24, jnp.float32)
+
+            g = jax.grad(
+                lambda s: jnp.sum(composite_weights(s, z, sd) * z)
+            )(sig)
+            assert np.isfinite(np.asarray(g)).all(), f"sat={sat}"
+
+            zB = jnp.linspace(0.15, 0.9, 8)[None, :].repeat(2, 0)
+            sigB = jnp.full((2, 8), 2.0).at[:, 3].set(sat)
+
+            def f(sA, sB):
+                wA, wB = merged_composite_weights(z, sA, zB, sB, sd)
+                return jnp.sum(wA * z) + jnp.sum(wB * zB)
+
+            gA, gB = jax.grad(f, argnums=(0, 1))(sig, sigB)
+            assert np.isfinite(np.asarray(gA)).all(), f"sat={sat}"
+            assert np.isfinite(np.asarray(gB)).all(), f"sat={sat}"
+
 
 class TestChamfer:
     def test_vs_scipy_kdtree(self):

@@ -111,7 +111,7 @@ def main():
         sigma, _ = module.apply(params, probe_x, method=module.density)
         return jnp.max(sigma)
 
-    steps_per_epoch = len(train_dataset.poses)
+    steps_per_epoch = len(train_dataset)
     n_epochs = max(1, -(-args.steps // steps_per_epoch))
     change = opt.change_patch_size_lidar[0] > 1
     for epoch in range(1, n_epochs + 1):
