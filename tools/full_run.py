@@ -44,10 +44,14 @@ def main():
                     help="epochs between val evals (default: end-only)")
     ap.add_argument("--expected_train_s", type=float, default=3600.0,
                     help="estimate used to place the kill points")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep the existing workspace and continue from the "
+                    "latest checkpoint (recovery after an external stall)")
     args = ap.parse_args()
 
     ws = args.workspace
-    shutil.rmtree(ws, ignore_errors=True)
+    if not args.resume:
+        shutil.rmtree(ws, ignore_errors=True)
 
     argv = (
         [sys.executable, "-u", "main_lidarnerf.py"]
@@ -63,7 +67,7 @@ def main():
     kills = [] if args.no_kill else sorted(args.kill_at)
     t_start = time.time()
     segments = []
-    n_seg = 0
+    n_seg = 1 if args.resume else 0
     log_path = os.path.join(ws, "log_lidar_nerf.txt")
 
     while True:
