@@ -68,6 +68,7 @@ class Trainer:
         depth_metrics=None,
         ema_decay=None,
         eval_interval=1,
+        ckpt_interval=1,
         max_keep_ckpt=2,
         workspace="workspace",
         best_mode="min",
@@ -83,6 +84,10 @@ class Trainer:
         self.depth_metrics = depth_metrics or []
         self.ema_decay = ema_decay
         self.eval_interval = eval_interval
+        # reference parity is a full checkpoint EVERY epoch (utils.py:1069);
+        # >1 amortizes the ~300 MB device_get+write when epochs are tiny
+        # (small frame counts make epochs a handful of steps)
+        self.ckpt_interval = max(1, ckpt_interval)
         self.max_keep_ckpt = max_keep_ckpt
         self.workspace = workspace
         self.best_mode = best_mode
@@ -350,7 +355,9 @@ class Trainer:
                 self._profiling = False
                 self.log(f"[INFO] profiler trace written to {self.workspace}/profile")
 
-            if self.workspace is not None:
+            if self.workspace is not None and (
+                self.epoch % self.ckpt_interval == 0 or self.epoch == max_epochs
+            ):
                 self.save_checkpoint(full=True, best=False)
 
             if self.epoch % self.eval_interval == 0:

@@ -101,6 +101,11 @@ def get_arg_parser():
     parser.add_argument("--hidden_dim", type=int, default=64)
     parser.add_argument("--geo_feat_dim", type=int, default=15)
     parser.add_argument("--eval_interval", type=int, default=50)
+    parser.add_argument(
+        "--ckpt_interval", type=int, default=1,
+        help="epochs between full checkpoints (reference saves every epoch, "
+        "utils.py:1069; raise when epochs are tiny to amortize the write)",
+    )
     parser.add_argument("--num_rays_lidar", type=int, default=4096)
     parser.add_argument("--min_near_lidar", type=float, default=0.01)
     parser.add_argument("--depth_loss", type=str, default="l1")
@@ -299,6 +304,7 @@ def main():
             ema_decay=0.95,
             use_checkpoint=opt.ckpt,
             eval_interval=opt.eval_interval,
+            ckpt_interval=opt.ckpt_interval,
             ckpt_format=opt.ckpt_format,
         )
         valid_dataset = build_dataset(opt, "val")

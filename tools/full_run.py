@@ -57,7 +57,9 @@ def main():
         [sys.executable, "-u", "main_lidarnerf.py"]
         + BASE
         + ["--workspace", ws, "--iters", str(args.iters),
-           "--eval_interval", str(args.eval_interval)]
+           "--eval_interval", str(args.eval_interval),
+           # tiny-epoch drives: amortize the ~300 MB per-epoch ckpt write
+           "--ckpt_interval", "50"]
         + ARMS[args.arm]
     )
     # segment 0 starts from scratch (BASE has --ckpt scratch); resumes must
