@@ -74,7 +74,7 @@ class MLP(nn.Module):
 
 
 class NeRFNetwork(nn.Module):
-    encoding: str = "hashgrid"  # hashgrid | tiledgrid | frequency | None
+    encoding: str = "hashgrid"  # blockhash|hashgrid|tiledgrid|periodic_volume|frequency|None
     encoding_dir: str = "sphere_harmonics"
     multires: int = 6  # frequency degree when encoding == "frequency"
     desired_resolution: int = 2048
@@ -126,6 +126,26 @@ class NeRFNetwork(nn.Module):
                 "hash_table", lambda k: hg.hash_grid_init(k, self.grid_spec)
             )
             in_dim = self.grid_spec.output_dim
+        elif self.encoding == "periodic_volume":
+            # the reference's PeriodicVolumeEncoding (encoding.py:123-296,
+            # DORMANT there) as a first-class model encoding; its TV
+            # regularizer lives in ops.periodic_volume_total_variation
+            # (the analogue of the reference's get_total_variation_loss,
+            # encoding.py:278 — never wired into training there either)
+            from lidarnerf_tpu.ops import periodic_volume as pv
+
+            self.pv_spec = pv.make_periodic_volume_spec(
+                num_levels=self.num_levels,
+                min_res=self.base_resolution,
+                max_res=self.desired_resolution,
+                log2_hashmap_size=self.log2_hashmap_size,
+                features_per_level=self.n_features_per_level,
+            )
+            self.grid_spec = None
+            self.hash_table = self.param(
+                "hash_table", lambda k: pv.periodic_volume_init(k, self.pv_spec)
+            )
+            in_dim = self.pv_spec.output_dim
         elif self.encoding == "frequency":
             self.grid_spec = None
             in_dim = frequency_encoding_dim(3, self.multires)
@@ -187,6 +207,11 @@ class NeRFNetwork(nn.Module):
 
             x01 = (x + self.bound) / (2.0 * self.bound)
             return bhash.block_hash_encode(x01, self.hash_table, self.block_spec)
+        if self.encoding == "periodic_volume":
+            from lidarnerf_tpu.ops import periodic_volume as pv
+
+            x01 = (x + self.bound) / (2.0 * self.bound)
+            return pv.periodic_volume_encode(x01, self.hash_table, self.pv_spec)
         if self.grid_spec is not None:
             x01 = (x + self.bound) / (2.0 * self.bound)  # grid.py:213
             # chunked + remat above 128k queries: the exact encoder otherwise

@@ -110,11 +110,14 @@ def main():
         epochs=args.epochs,
         batch_size=args.batch_size,
     )
-    best = max(history, key=lambda h: h["dice"])
-    logging.info(
-        "done: %d epochs, best dice %.4f (epoch %d)",
-        args.epochs, best["dice"], best["epoch"],
-    )
+    if history:  # --epochs 0 is a no-op the reference CLI tolerates
+        best = max(history, key=lambda h: h["dice"])
+        logging.info(
+            "done: %d epochs, best dice %.4f (epoch %d)",
+            args.epochs, best["dice"], best["epoch"],
+        )
+    else:
+        logging.info("done: 0 epochs, nothing trained")
 
 
 if __name__ == "__main__":

@@ -170,7 +170,8 @@ def get_arg_parser():
         "--encoding",
         type=str,
         default="blockhash",
-        choices=["blockhash", "hashgrid", "tiledgrid", "frequency"],
+        choices=["blockhash", "hashgrid", "tiledgrid", "frequency",
+                 "periodic_volume"],
         help="position encoding: blockhash = TPU-native fast hash grid "
         "(Pallas), hashgrid = reference-exact corner-level hash, frequency = "
         "encoder-free CPU-runnable config",

@@ -245,6 +245,26 @@ class TestPeriodicVolume:
         g = jax.grad(lambda p: enc(x, p).sum())(params)
         assert float(jnp.abs(g).sum()) > 0
 
+    def test_model_encoding(self):
+        """NeRFNetwork accepts encoding='periodic_volume' (the reference's
+        dormant PeriodicVolumeEncoding as a user-selectable model encoding;
+        CLI --encoding choice wired in main_lidarnerf.py)."""
+        import jax
+        from lidarnerf_tpu.models.network import NeRFNetwork
+
+        m = NeRFNetwork(
+            encoding="periodic_volume", num_levels=2, base_resolution=4,
+            desired_resolution=16, log2_hashmap_size=9,
+        )
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.zeros((4, 3)))
+        sigma, geo = m.apply(params, jnp.zeros((4, 3)), method=m.density)
+        assert sigma.shape == (4,)
+        g = jax.grad(
+            lambda p: m.apply(p, jnp.zeros((4, 3)), method=m.density)[0].sum()
+        )(params)
+        leaves = jax.tree.leaves(g)
+        assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
     def test_requires_log2_multiple_of_3(self):
         import pytest
         from lidarnerf_tpu.ops import periodic_volume as pv

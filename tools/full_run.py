@@ -137,7 +137,9 @@ def main():
         },
     }
     print(json.dumps(result), flush=True)
-    with open("/tmp/full_run_result.json", "w") as f:
+    # the run's own workspace, not a shared /tmp path: concurrent/successive
+    # runs must not clobber each other's evidence (VALIDATION.md cites this)
+    with open(os.path.join(ws, "full_run_result.json"), "w") as f:
         json.dump(result, f, indent=1)
     return 0
 
