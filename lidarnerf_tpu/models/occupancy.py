@@ -40,6 +40,9 @@ import jax
 import jax.numpy as jnp
 
 
+_INF = jnp.float32(jnp.inf)
+
+
 @dataclass(frozen=True)
 class OccConfig:
     grid_size: int = 128
@@ -131,18 +134,26 @@ def occ_z_vals(key, nears, fars, pdf, num_steps: int, perturb: bool):
 
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [N, K+1]
-    # bin edges uniform in [near, far]
-    edges = nears + (fars - nears) * jnp.linspace(0.0, 1.0, K + 1, dtype=jnp.float32)
 
-    # batched searchsorted(right) as compare-sum (see ops/sampling.sample_pdf)
-    inds = jnp.sum(cdf[:, :, None] <= u[:, None, :], axis=1).astype(jnp.int32)
-    below = jnp.clip(inds - 1, 0, K - 1)
-    above = below + 1
-
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    edge_b = jnp.take_along_axis(edges, below, axis=-1)
-    edge_a = jnp.take_along_axis(edges, above, axis=-1)
+    # GATHER-FREE inverse CDF (round-5): the searchsorted-then-gather form
+    # (compare-sum inds + 4x take_along_axis) spent ~32 ms/step at training
+    # scale — TPU gathers run ~80M rows/s. Because cdf is sorted along K,
+    # cdf[below] is simply the masked MAX of cdf entries <= u and cdf[above]
+    # the masked MIN of entries > u — the same broadcast compare the
+    # searchsorted already does, with select+reduce instead of gather. The
+    # uniform bin edges never need fetching at all: edge[below] is affine in
+    # below. Values selected are identical to the gather form (strictly
+    # increasing cdf: the floor/K mixture keeps every pdf entry positive).
+    le = cdf[:, :, None] <= u[:, None, :]  # [N, K+1, T]
+    # below = clip(#{cdf<=u} - 1, 0, K-1); the leading 0 always counts
+    below_f = jnp.clip(
+        jnp.sum(le[:, 1:, :], axis=1, dtype=jnp.float32), 0.0, float(K - 1)
+    )  # [N, T]
+    cdf_b = jnp.max(jnp.where(le[:, :K, :], cdf[:, :K, None], 0.0), axis=1)
+    cdf_a = jnp.min(jnp.where(le[:, 1:, :], _INF, cdf[:, 1:, None]), axis=1)
+    cdf_a = jnp.where(jnp.isinf(cdf_a), cdf[:, -1:], cdf_a)  # u beyond cdf[K]
+    bin_w = (fars - nears) / K
+    edge_b = nears + bin_w * below_f
     denom = jnp.where(cdf_a - cdf_b < 1e-12, 1.0, cdf_a - cdf_b)
     frac = jnp.clip((u - cdf_b) / denom, 0.0, 1.0)
-    return edge_b + frac * (edge_a - edge_b)
+    return edge_b + frac * bin_w

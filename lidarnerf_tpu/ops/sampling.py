@@ -67,17 +67,23 @@ def sample_pdf(key, bins, weights, n_samples: int, det: bool):
     else:
         u = jax.random.uniform(key, (B, n_samples), dtype=jnp.float32)
 
-    # batched searchsorted(side='right') as a broadcast compare-sum: for the
-    # [N, T] x [N, n] shapes here this is pure VPU work and ~200x faster on
-    # TPU than a vmapped jnp.searchsorted (43ms -> <1ms at N=4096, T=767)
-    inds = jnp.sum(cdf[:, :, None] <= u[:, None, :], axis=1).astype(jnp.int32)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
-
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    # GATHER-FREE batched searchsorted(side='right') + fetch (round-5): the
+    # compare-sum searchsorted is pure VPU work (~200x a vmapped
+    # jnp.searchsorted), but the four take_along_axis fetches it fed cost
+    # ~15 ms/step at training scale (TPU gathers run ~80M rows/s). Both cdf
+    # and bins are SORTED along T, so x[inds-1] is the masked MAX of entries
+    # whose cdf <= u and x[inds] the masked MIN of the rest — the same
+    # broadcast compare, select+reduce instead of gather. Selected values are
+    # identical to the gather form (the +1e-5 keeps cdf strictly increasing,
+    # so value-level selection equals index-level selection).
+    le = cdf[:, :, None] <= u[:, None, :]  # [B, T, n]
+    inf = jnp.float32(jnp.inf)
+    cdf_below = jnp.max(jnp.where(le, cdf[:, :, None], 0.0), axis=1)
+    cdf_above = jnp.min(jnp.where(le, inf, cdf[:, :, None]), axis=1)
+    cdf_above = jnp.where(jnp.isinf(cdf_above), cdf[:, -1:], cdf_above)
+    bins_below = jnp.max(jnp.where(le, bins[:, :, None], -inf), axis=1)
+    bins_above = jnp.min(jnp.where(le, inf, bins[:, :, None]), axis=1)
+    bins_above = jnp.where(jnp.isinf(bins_above), bins[:, -1:], bins_above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, 1.0, denom)
