@@ -94,6 +94,10 @@ class NeRFNetwork(nn.Module):
     bg_radius: float = -1.0
     bound: float = 1.0
     compute_dtype: Any = jnp.float32
+    # blockhash only: differentiable boundary-corner sharing across dense-
+    # level block seams (ops/block_hash.tie_dense_seams). True corner
+    # sharing like the reference's per-corner storage (gridencoder.cu:53-67)
+    seam_tie: bool = True
 
     def setup(self):
         if self.encoding == "blockhash":
@@ -206,7 +210,10 @@ class NeRFNetwork(nn.Module):
             from lidarnerf_tpu.ops import block_hash as bhash
 
             x01 = (x + self.bound) / (2.0 * self.bound)
-            return bhash.block_hash_encode(x01, self.hash_table, self.block_spec)
+            table = self.hash_table
+            if self.seam_tie:
+                table = bhash.tie_dense_seams(table, self.block_spec)
+            return bhash.block_hash_encode(x01, table, self.block_spec)
         if self.encoding == "periodic_volume":
             from lidarnerf_tpu.ops import periodic_volume as pv
 

@@ -367,6 +367,33 @@ class Trainer:
         if writer is not None:
             writer.close()
 
+    def _seam_sync_fn(self, n_per_axis):
+        """Cached jitted hashed-level seam projection (blockhash only)."""
+        fn = getattr(self, "_seam_sync_cache", None)
+        if fn is None:
+            import functools
+
+            from lidarnerf_tpu.ops.block_hash import (
+                make_block_hash_spec,
+                sync_hashed_seams,
+            )
+
+            # rebuild the spec from module attrs (setup()-bound attributes
+            # are not reachable on the unbound module)
+            spec = make_block_hash_spec(
+                num_levels=self.module.num_levels,
+                base_resolution=self.module.base_resolution,
+                log2_hashmap_size=self.module.log2_hashmap_size,
+                desired_resolution=self.module.desired_resolution,
+            )
+
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def _sync(table, key, n):
+                return sync_hashed_seams(table, spec, key, n_per_axis=n)
+
+            fn = self._seam_sync_cache = _sync
+        return lambda table, key: fn(table, key, n=n_per_axis)
+
     def train_one_epoch(self, dataset, patch_size):
         lr_now = self.train_cfg.lr * 0.1 ** min(
             self.global_step / self.train_cfg.iters, 1.0
@@ -394,6 +421,20 @@ class Trainer:
                     occ_cfg,
                     self.render_cfg.bound,
                 )
+                n_sync = getattr(self.opt, "seam_sync_hashed", 0)
+                if n_sync > 0 and getattr(self.module, "encoding", "") == "blockhash":
+                    # stochastic hard-average of duplicated hashed-level
+                    # boundary corners, projected at the occ-update cadence
+                    # (ops/block_hash.sync_hashed_seams); dense levels are
+                    # tied in-forward (network.seam_tie)
+                    self.rng, sub_seam = jax.random.split(self.rng)
+                    table = self._seam_sync_fn(n_sync)(
+                        self.params["params"]["hash_table"], sub_seam
+                    )
+                    self.params = {
+                        **self.params,
+                        "params": {**self.params["params"], "hash_table": table},
+                    }
             self.local_step += 1
             self.global_step += 1
             self.rng, sub = jax.random.split(self.rng)

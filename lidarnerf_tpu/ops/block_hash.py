@@ -309,6 +309,95 @@ def _on_tpu():
     return on_tpu()
 
 
+# ------------------------------------------------- boundary-corner sharing
+
+
+def tie_dense_seams(table, spec: BlockHashSpec):
+    """Differentiable boundary-corner sharing for the DENSE levels.
+
+    The block layout stores corners on block faces twice — block b's local
+    corner 3 along an axis and block b+1's local corner 0 are the same
+    global corner (module docstring, tradeoff #1). The reference never has
+    this (per-corner storage, gridencoder.cu:53-67); measured at matched
+    steps the duplication costs quality (VALIDATION.md encoder A/B), and the
+    alpha_seam penalty was measured to HURT (round-4 sweep). This instead
+    reparameterizes: the *effective* table used by the forward replaces both
+    copies of every shared face corner with their mean, so the encoded field
+    is exactly continuous across dense-level block seams and the two copies
+    receive symmetric gradients — true corner sharing, not a loss.
+
+    Dense levels index blocks lexicographically, so the copy pairing is pure
+    static slicing on a [nb, nb, nb, 4, 4, 4, 2] view; averaging axis-by-
+    axis equalizes 2-, 4- and 8-copy corners to their full mean. Hashed
+    levels cannot be paired by slicing (block coords are hashed); see
+    sync_hashed_seams for the stochastic projection used there.
+
+    Cost: a few small-slice averages plus one table-buffer copy (~0.2 ms at
+    the flagship 67 MB table) — rides inside the training jit.
+    """
+    out = table
+    for li, level in enumerate(spec.levels):
+        if not level.dense:
+            continue
+        nb = level.blocks_axis
+        if nb < 2:
+            continue
+        n = nb**3
+        off = li * spec.blocks_per_level
+        t = table[off : off + n].reshape(nb, nb, nb, 4, 4, 4, 2)
+        # x faces: block (bx,·,·) corner sx=3 == block (bx+1,·,·) corner sx=0
+        m = 0.5 * (t[:-1, :, :, 3] + t[1:, :, :, 0])
+        t = t.at[:-1, :, :, 3].set(m).at[1:, :, :, 0].set(m)
+        # y faces (after x so edge/vertex corners converge to the full mean)
+        m = 0.5 * (t[:, :-1, :, :, 3] + t[:, 1:, :, :, 0])
+        t = t.at[:, :-1, :, :, 3].set(m).at[:, 1:, :, :, 0].set(m)
+        # z faces
+        m = 0.5 * (t[:, :, :-1, :, :, 3] + t[:, :, 1:, :, :, 0])
+        t = t.at[:, :, :-1, :, :, 3].set(m).at[:, :, 1:, :, :, 0].set(m)
+        out = out.at[off : off + n].set(t.reshape(n, ROW_WIDTH))
+    return out
+
+
+def sync_hashed_seams(table, spec: BlockHashSpec, key, n_per_axis=4096):
+    """Stochastic hard-averaging projection of duplicated corners at HASHED
+    levels (the counterpart of tie_dense_seams where the copy pairing cannot
+    be enumerated: block coords are hashed, gridencoder.cu:53-67 prime-XOR).
+
+    Samples boundary corners uniformly per (level, axis) like
+    block_hash_seam_loss, then ASSIGNS both copies their mean — a projection
+    onto the corner-consistent subspace the reference lives in permanently,
+    with no gradient pressure against reconstruction (the round-4 sweep
+    showed the penalty form hurts). Meant to be applied to the raw params
+    every occupancy-update interval. Sampled-corner collisions are benign
+    (last write wins; both writes are means of near-identical pairs).
+    """
+    flat = table.reshape(-1)
+    keys = jax.random.split(key, spec.num_levels * 3)
+    for li, level in enumerate(spec.levels):
+        if level.dense:
+            continue
+        max_corner = level.max_cell + 1
+        n_seams = min(max_corner // CELLS_PER_BLOCK, level.blocks_axis - 1)
+        if n_seams < 1:
+            continue
+        for axis in range(3):
+            k = keys[li * 3 + axis]
+            km, ko = jax.random.split(k)
+            m = jax.random.randint(km, (n_per_axis,), 1, n_seams + 1)
+            other = jax.random.randint(ko, (n_per_axis, 3), 0, max_corner + 1)
+            g = other.at[:, axis].set(m * CELLS_PER_BLOCK)
+            blk_hi = jnp.clip(g // CELLS_PER_BLOCK, 0, level.blocks_axis - 1)
+            blk_lo = blk_hi.at[:, axis].add(-1)
+            row_a, lane_a = _corner_row_lane(g, blk_hi, level, li, spec)
+            row_b, lane_b = _corner_row_lane(g, blk_lo, level, li, spec)
+            ia = row_a * ROW_WIDTH + lane_a
+            ib = row_b * ROW_WIDTH + lane_b
+            for ch in range(LEVEL_DIM):
+                mean = 0.5 * (jnp.take(flat, ia + ch) + jnp.take(flat, ib + ch))
+                flat = flat.at[ia + ch].set(mean).at[ib + ch].set(mean)
+    return flat.reshape(table.shape)
+
+
 # --------------------------------------------------------------- seam tying
 
 

@@ -88,6 +88,22 @@ def get_arg_parser():
         help="blockhash seam-consistency regularizer weight (TPU layout "
         "extra; ties duplicated block-boundary corners, ops/block_hash.py)",
     )
+    parser.add_argument(
+        "--seam_tie",
+        type=int,
+        default=1,
+        help="blockhash only: 1 = share dense-level block-boundary corners "
+        "in the forward (differentiable averaging reparameterization, "
+        "ops/block_hash.tie_dense_seams); 0 = raw duplicated-corner layout",
+    )
+    parser.add_argument(
+        "--seam_sync_hashed",
+        type=int,
+        default=0,
+        help="blockhash only: >0 samples this many boundary corners per "
+        "(hashed level, axis) every occupancy-update interval and hard-"
+        "averages the duplicated copies (ops/block_hash.sync_hashed_seams)",
+    )
     parser.add_argument("--intensity_inv_scale", type=float, default=1)
     parser.add_argument("--spatial_smooth", action="store_true")
     parser.add_argument("--grad_norm_smooth", action="store_true")
@@ -228,6 +244,7 @@ def build_model(opt):
         geo_feat_dim=opt.geo_feat_dim,
         bound=opt.bound,
         compute_dtype=jnp.bfloat16 if opt.fp16 else jnp.float32,
+        seam_tie=bool(opt.seam_tie),
     )
 
 

@@ -148,6 +148,145 @@ class TestBlockHash:
         assert np.isfinite(total) and total > 0
 
 
+class TestSeamTie:
+    """tie_dense_seams: differentiable boundary-corner sharing (round 5)."""
+
+    def test_copies_equal_after_tie(self):
+        """Every duplicated dense-level corner's copies become their mean."""
+        spec, table = make()
+        tied = np.asarray(bh.tie_dense_seams(jnp.asarray(table), spec))
+        rng = np.random.RandomState(0)
+        checked = 0
+        for li, lvl in enumerate(spec.levels):
+            if not lvl.dense or lvl.blocks_axis < 2:
+                continue
+            max_corner = lvl.max_cell + 1
+            n_seams = min(max_corner // 3, lvl.blocks_axis - 1)
+            if n_seams < 1:
+                continue
+            for _ in range(50):
+                axis = rng.randint(3)
+                g = rng.randint(0, max_corner + 1, size=3)
+                g[axis] = rng.randint(1, n_seams + 1) * 3
+                blk_hi = np.clip(g // 3, 0, lvl.blocks_axis - 1)
+                blk_lo = blk_hi.copy()
+                blk_lo[axis] -= 1
+                ra, la = bh._corner_row_lane(
+                    jnp.asarray(g[None]), jnp.asarray(blk_hi[None]), lvl, li, spec
+                )
+                rb, lb = bh._corner_row_lane(
+                    jnp.asarray(g[None]), jnp.asarray(blk_lo[None]), lvl, li, spec
+                )
+                ra, la, rb, lb = int(ra[0]), int(la[0]), int(rb[0]), int(lb[0])
+                for ch in range(2):
+                    assert tied[ra, la + ch] == tied[rb, lb + ch]
+                checked += 1
+        assert checked > 0
+
+    def test_mean_preserved_for_pair(self):
+        """A 2-copy face corner's tied value is the mean of the originals."""
+        spec, table = make()
+        lvl_i, lvl = next(
+            (i, l) for i, l in enumerate(spec.levels)
+            if l.dense and l.blocks_axis >= 2
+        )
+        g = np.array([3, 1, 1])  # face corner between blocks 0 and 1 along x
+        blk_hi = g // 3
+        blk_lo = blk_hi.copy()
+        blk_lo[0] -= 1
+        ra, la = bh._corner_row_lane(
+            jnp.asarray(g[None]), jnp.asarray(blk_hi[None]), lvl, lvl_i, spec
+        )
+        rb, lb = bh._corner_row_lane(
+            jnp.asarray(g[None]), jnp.asarray(blk_lo[None]), lvl, lvl_i, spec
+        )
+        tied = np.asarray(bh.tie_dense_seams(jnp.asarray(table), spec))
+        ra, la, rb, lb = int(ra[0]), int(la[0]), int(rb[0]), int(lb[0])
+        want = 0.5 * (table[ra, la] + table[rb, lb])
+        np.testing.assert_allclose(tied[ra, la], want, rtol=1e-6)
+        np.testing.assert_allclose(tied[rb, lb], want, rtol=1e-6)
+
+    def test_field_continuous_across_dense_seam(self):
+        """Encoded features are continuous across a dense-level block seam
+        after tying, and generically NOT continuous before (raw layout)."""
+        spec, table = make(num_levels=2, desired=8, log2=13)  # both levels dense
+        lvl = spec.levels[-1]
+        assert lvl.dense
+        # seam plane at cell coordinate 3 of the finest level: x* solves
+        # x * scale + 0.5 == 3
+        xs = (3.0 - 0.5) / lvl.scale
+        eps = 1e-6
+        lo = jnp.asarray([[xs - eps, 0.31, 0.47]], jnp.float32)
+        hi = jnp.asarray([[xs + eps, 0.31, 0.47]], jnp.float32)
+        raw = jnp.asarray(table)
+        f_lo = np.asarray(bh.block_hash_encode(lo, raw, spec, use_pallas=False))
+        f_hi = np.asarray(bh.block_hash_encode(hi, raw, spec, use_pallas=False))
+        gap_raw = np.abs(f_lo - f_hi).max()
+        tied = bh.tie_dense_seams(raw, spec)
+        t_lo = np.asarray(bh.block_hash_encode(lo, tied, spec, use_pallas=False))
+        t_hi = np.asarray(bh.block_hash_encode(hi, tied, spec, use_pallas=False))
+        gap_tied = np.abs(t_lo - t_hi).max()
+        assert gap_raw > 1e-6  # the raw layout is measurably discontinuous
+        assert gap_tied < 1e-6  # tying closes the seam
+
+    def test_gradient_symmetric(self):
+        """Both copies of a shared corner receive equal gradient."""
+        spec, table = make()
+        lvl_i, lvl = next(
+            (i, l) for i, l in enumerate(spec.levels)
+            if l.dense and l.blocks_axis >= 2
+        )
+        g = np.array([3, 1, 1])
+        blk_hi = g // 3
+        blk_lo = blk_hi.copy()
+        blk_lo[0] -= 1
+        ra, la = bh._corner_row_lane(
+            jnp.asarray(g[None]), jnp.asarray(blk_hi[None]), lvl, lvl_i, spec
+        )
+        rb, lb = bh._corner_row_lane(
+            jnp.asarray(g[None]), jnp.asarray(blk_lo[None]), lvl, lvl_i, spec
+        )
+        ra, la, rb, lb = int(ra[0]), int(la[0]), int(rb[0]), int(lb[0])
+
+        def loss(t):
+            tied = bh.tie_dense_seams(t, spec)
+            return tied[ra, la] * 2.0  # pull only on copy A's tied value
+
+        grad = np.asarray(jax.grad(loss)(jnp.asarray(table)))
+        assert grad[ra, la] == grad[rb, lb] == 1.0  # 2.0 split across copies
+
+    def test_idempotent(self):
+        spec, table = make()
+        once = bh.tie_dense_seams(jnp.asarray(table), spec)
+        twice = bh.tie_dense_seams(once, spec)
+        np.testing.assert_allclose(np.asarray(once), np.asarray(twice), atol=1e-7)
+
+
+class TestSyncHashedSeams:
+    def test_sampled_copies_converge(self):
+        """After the projection, freshly sampled hashed boundary corners have
+        (mostly) equal copies — sampling with the same corner distribution."""
+        spec, table = make(num_levels=6, desired=512, log2=10)
+        hashed = [l for l in spec.levels if not l.dense]
+        assert hashed, "fixture must include hashed levels"
+        t1 = bh.sync_hashed_seams(
+            jnp.asarray(table), spec, jax.random.PRNGKey(1), n_per_axis=2048
+        )
+        # measure discrepancy with the seam loss (same duplicated-corner law)
+        before = float(bh.block_hash_seam_loss(jnp.asarray(table), spec,
+                                               jax.random.PRNGKey(2)))
+        after = float(bh.block_hash_seam_loss(t1, spec, jax.random.PRNGKey(2)))
+        assert after < before
+
+    def test_preserves_shape_and_finite(self):
+        spec, table = make()
+        out = bh.sync_hashed_seams(
+            jnp.asarray(table), spec, jax.random.PRNGKey(0), n_per_axis=64
+        )
+        assert out.shape == table.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+
 class TestSeamLoss:
     """block_hash_seam_loss ties the independently-stored copies of
     block-boundary corners (the layout tradeoff documented in the module
