@@ -97,7 +97,11 @@ class NeRFNetwork(nn.Module):
     # blockhash only: differentiable boundary-corner sharing across dense-
     # level block seams (ops/block_hash.tie_dense_seams). True corner
     # sharing like the reference's per-corner storage (gridencoder.cu:53-67)
-    seam_tie: bool = True
+    # — MEASURED HARMFUL on the 2000-step matched-budget A/B (round 5,
+    # VALIDATION.md: test Chamfer 0.845 vs 0.702 untied): the duplicated
+    # corners are load-bearing per-block capacity, not just a defect.
+    # Off by default; kept as a measured option.
+    seam_tie: bool = False
 
     def setup(self):
         if self.encoding == "blockhash":

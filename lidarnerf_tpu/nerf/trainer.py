@@ -421,20 +421,24 @@ class Trainer:
                     occ_cfg,
                     self.render_cfg.bound,
                 )
-                n_sync = getattr(self.opt, "seam_sync_hashed", 0)
-                if n_sync > 0 and getattr(self.module, "encoding", "") == "blockhash":
-                    # stochastic hard-average of duplicated hashed-level
-                    # boundary corners, projected at the occ-update cadence
-                    # (ops/block_hash.sync_hashed_seams); dense levels are
-                    # tied in-forward (network.seam_tie)
-                    self.rng, sub_seam = jax.random.split(self.rng)
-                    table = self._seam_sync_fn(n_sync)(
-                        self.params["params"]["hash_table"], sub_seam
-                    )
-                    self.params = {
-                        **self.params,
-                        "params": {**self.params["params"], "hash_table": table},
-                    }
+            n_sync = getattr(self.opt, "seam_sync_hashed", 0)
+            if (
+                n_sync > 0
+                and getattr(self.module, "encoding", "") == "blockhash"
+                and self.global_step % 16 == 0
+            ):
+                # stochastic hard-average of duplicated hashed-level boundary
+                # corners every 16 steps (ops/block_hash.sync_hashed_seams) —
+                # own cadence, independent of the --fast occupancy grid;
+                # dense levels have the in-forward tie (network.seam_tie)
+                self.rng, sub_seam = jax.random.split(self.rng)
+                table = self._seam_sync_fn(n_sync)(
+                    self.params["params"]["hash_table"], sub_seam
+                )
+                self.params = {
+                    **self.params,
+                    "params": {**self.params["params"], "hash_table": table},
+                }
             self.local_step += 1
             self.global_step += 1
             self.rng, sub = jax.random.split(self.rng)

@@ -91,10 +91,11 @@ def get_arg_parser():
     parser.add_argument(
         "--seam_tie",
         type=int,
-        default=1,
+        default=0,
         help="blockhash only: 1 = share dense-level block-boundary corners "
         "in the forward (differentiable averaging reparameterization, "
-        "ops/block_hash.tie_dense_seams); 0 = raw duplicated-corner layout",
+        "ops/block_hash.tie_dense_seams); 0 = raw duplicated-corner layout. "
+        "Default 0: tying measured HARMFUL at matched budget (round-5 A/B)",
     )
     parser.add_argument(
         "--seam_sync_hashed",

@@ -91,6 +91,11 @@ def test_tiny_cli_flow(tmp_path, monkeypatch):
         "--mesh_resolution", "32",
         "--scale", "0.05",
         "--offset", "0", "0", "0",
+        # exercise both seam options' trainer wiring (measured-negative
+        # quality-wise, but the plumbing must stay alive): the in-forward
+        # dense tie and the 16-step hashed sync (fires at global step 0)
+        "--seam_tie", "1",
+        "--seam_sync_hashed", "8",
     ]
     monkeypatch.setattr(sys, "argv", argv)
     monkeypatch.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -30,6 +30,14 @@ ARMS = {
     "seam100": ["--encoding", "blockhash", "--alpha_seam", "100"],
     "seam10k": ["--encoding", "blockhash", "--alpha_seam", "10000"],
     "hashgrid": ["--encoding", "hashgrid"],
+    # round-5 boundary-corner-sharing arms (ops/block_hash.tie_dense_seams /
+    # sync_hashed_seams)
+    "tie0": ["--encoding", "blockhash", "--seam_tie", "0"],
+    "tie1": ["--encoding", "blockhash", "--seam_tie", "1"],
+    "tie1sync": ["--encoding", "blockhash", "--seam_tie", "1",
+                 "--seam_sync_hashed", "4096"],
+    "sync_only": ["--encoding", "blockhash", "--seam_tie", "0",
+                  "--seam_sync_hashed", "4096"],
 }
 
 BASE = [

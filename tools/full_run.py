@@ -47,6 +47,15 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="keep the existing workspace and continue from the "
                     "latest checkpoint (recovery after an external stall)")
+    ap.add_argument("--best_eval", action="store_true",
+                    help="after the run, reload the best-by-val-Chamfer "
+                    "checkpoint and evaluate it on the test split (the "
+                    "reference protocol's model-selection law, "
+                    "utils.py:1425-1436) — reported as 'test_best'")
+    ap.add_argument("--stall_timeout_s", type=float, default=900.0,
+                    help="watchdog: if the workspace log stops advancing for "
+                    "this long mid-segment, SIGKILL and resume (tunneled-"
+                    "backend stalls, round-4 environment note)")
     args = ap.parse_args()
 
     ws = args.workspace
@@ -72,6 +81,28 @@ def main():
     n_seg = 1 if args.resume else 0
     log_path = os.path.join(ws, "log_lidar_nerf.txt")
 
+    def wait_watchdog(proc, kill_after, t_seg):
+        """'done' | 'kill_point' | 'stalled' (log stopped advancing)."""
+        while True:
+            try:
+                proc.wait(timeout=15)
+                return "done"
+            except subprocess.TimeoutExpired:
+                pass
+            if kill_after is not None and time.time() - t_seg >= kill_after:
+                return "kill_point"
+            # tunneled-backend stall detection (round-4 environment note):
+            # mid-epoch hangs leave the process alive at zero progress; the
+            # log's mtime is the progress signal. Compile windows at segment
+            # start are covered by measuring from max(log mtime, seg start).
+            last = max(
+                os.path.getmtime(log_path) if os.path.exists(log_path) else 0.0,
+                t_seg,
+            )
+            if time.time() - last > args.stall_timeout_s:
+                return "stalled"
+
+    stalls = 0
     while True:
         seg_argv = argv if n_seg == 0 else resume_argv
         kill_after = None
@@ -87,8 +118,8 @@ def main():
             seg_argv, cwd="/root/repo",
             stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT,
         )
-        try:
-            proc.wait(timeout=kill_after)
+        why = wait_watchdog(proc, kill_after, t0)
+        if why == "done":
             segments.append({"dur_s": round(time.time() - t0, 1),
                              "rc": proc.returncode, "killed": False})
             if proc.returncode != 0:
@@ -98,20 +129,50 @@ def main():
                 print(tail, flush=True)
                 return 1
             break  # training + eval + test + mesh completed
-        except subprocess.TimeoutExpired:
-            proc.send_signal(signal.SIGKILL)
-            proc.wait()
-            segments.append({"dur_s": round(time.time() - t0, 1),
-                             "rc": None, "killed": True})
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+        segments.append({"dur_s": round(time.time() - t0, 1),
+                         "rc": None, "killed": True, "why": why})
+        if why == "kill_point":
             kills.pop(0)
-            n_seg += 1
-            # resumed epoch, for the soak evidence
-            if os.path.exists(log_path):
-                m = re.findall(r"Finished Epoch (\d+)", open(log_path).read())
-                print(f"killed at epoch ~{m[-1] if m else '?'}", flush=True)
+        else:
+            stalls += 1
+            print(f"segment {n_seg} STALLED (log idle "
+                  f">{args.stall_timeout_s}s); resuming", flush=True)
+            if stalls > 8:
+                print("too many stalls; giving up", flush=True)
+                return 1
+        n_seg += 1
+        # resumed epoch, for the soak evidence
+        if os.path.exists(log_path):
+            m = re.findall(r"Finished Epoch (\d+)", open(log_path).read())
+            print(f"killed at epoch ~{m[-1] if m else '?'}", flush=True)
 
     total_s = time.time() - t_start
     evals = parse_evals(log_path)
+
+    # protocol model selection (VERDICT r4 #4): reload the best-by-val-
+    # Chamfer checkpoint and score the test split with it — the reference's
+    # published-number law (utils.py:1425-1436 + --ckpt best)
+    test_best = None
+    if args.best_eval:
+        n_before = len(evals)
+        best_argv = (
+            [sys.executable, "-u", "main_lidarnerf.py"]
+            + BASE
+            + ["--workspace", ws, "--iters", str(args.iters)]
+            + ARMS[args.arm]
+            + ["--ckpt", "best", "--test_eval"]  # last --ckpt wins
+        )
+        rc = subprocess.call(
+            best_argv, cwd="/root/repo",
+            stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT,
+        )
+        evals2 = parse_evals(log_path)
+        if rc == 0 and len(evals2) > n_before:
+            test_best = evals2[-1]
+        else:
+            print(f"best-ckpt eval failed rc={rc}", flush=True)
     rps = rays_per_sec(log_path)
     txt = open(log_path).read()
     skips = len(re.findall(r"non-finite", txt))
@@ -131,6 +192,8 @@ def main():
         "nonfinite_log_lines": skips,
         "val": evals[-2] if len(evals) >= 2 else None,
         "test": evals[-1] if evals else None,
+        "test_best": test_best,
+        "n_evals": len(evals),
         "north_star": {
             "target_min_4chip": 20.0,
             "scaled_min_4chip": round(total_s / 60.0 / 4.0, 1),

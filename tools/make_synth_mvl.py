@@ -1,0 +1,155 @@
+"""Full-size synthetic NeRF-MVL object dataset (VERDICT r4 #5).
+
+Generates the NeRF-MVL shape regime at REAL scale — 256 x 1800 panos,
+(fov_up, fov) = (15, 40) degrees, npz frames with the -1 bbox mask in the
+depth channel, dataset_bbox_7k.npy OBB, transforms_{cls}_{split}.json —
+so the `configs/nerf_mvl.txt` path (masked static sampling, crop metrics,
+OBB-filtered point clouds, 460k-ray staged render) can be exercised on the
+chip without the license-gated real data. Scene: an analytic "car" (box
+body + half-cylinder cabin) at ~6 m, viewed from poses orbiting the object
+like the reference's multi-view captures
+(/root/reference/lidarnerf/dataset/nerfmvl_dataset.py:114; preprocess/
+generate_train_rangeview.py:166-168).
+
+Usage: python tools/make_synth_mvl.py data_synth_mvl [n_train]
+Suggested CLI: --config configs/nerf_mvl.txt --path data_synth_mvl \
+    --scale 0.1 --offset 6.0 0.0 0.0
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lidarnerf_tpu.dataset.convert import pano_dirs
+
+H, W = 256, 1800
+K_LIDAR = (15.0, 40.0)
+CENTER = np.array([6.0, 0.0, 0.0])
+
+
+def _sdf_hits(o, d, n_steps=256, t_max=16.0):
+    """Sphere-trace an analytic car (box body + cabin box) — returns depth
+    (0 = miss) and incidence-weighted intensity."""
+    body_c = CENTER + np.array([0.0, 0.0, -0.25])
+    body_h = np.array([2.2, 0.95, 0.65])
+    cab_c = CENTER + np.array([-0.3, 0.0, 0.55])
+    cab_h = np.array([1.1, 0.8, 0.45])
+
+    def sdf(p):
+        q1 = np.abs(p - body_c) - body_h
+        d1 = np.linalg.norm(np.maximum(q1, 0), axis=-1) + np.minimum(
+            q1.max(axis=-1), 0
+        )
+        q2 = np.abs(p - cab_c) - cab_h
+        d2 = np.linalg.norm(np.maximum(q2, 0), axis=-1) + np.minimum(
+            q2.max(axis=-1), 0
+        )
+        return np.minimum(d1, d2)
+
+    t = np.full(o.shape[0], 0.5)
+    for _ in range(n_steps):
+        p = o + d * t[:, None]
+        dist = sdf(p)
+        t = np.where(t < t_max, t + np.clip(dist, 1e-4, 1.0), t)
+    hit = (t < t_max) & (sdf(o + d * t[:, None]) < 1e-2)
+    # numeric normal for incidence shading
+    p = o + d * t[:, None]
+    eps = 1e-3
+    n = np.stack(
+        [
+            sdf(p + np.array([eps, 0, 0])) - sdf(p - np.array([eps, 0, 0])),
+            sdf(p + np.array([0, eps, 0])) - sdf(p - np.array([0, eps, 0])),
+            sdf(p + np.array([0, 0, eps])) - sdf(p - np.array([0, 0, eps])),
+        ],
+        axis=-1,
+    )
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    cosi = np.abs(np.sum(n * d, axis=-1))
+    inten = np.where(hit, np.clip(0.25 + 0.6 * cosi, 0, 1), 0.0)
+    return np.where(hit, t, 0.0), inten
+
+
+def main(out_dir="data_synth_mvl", n_train=12, n_val=2, cls="car"):
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, cls), exist_ok=True)
+    dirs_l = pano_dirs(H, W, K_LIDAR).reshape(-1, 3)
+
+    # OBB with some margin around the car (world frame)
+    hx, hy, hz = 2.6, 1.4, 1.5
+    obb = np.array(
+        [
+            CENTER + [sx * hx, sy * hy, sz * hz - 0.2]
+            for sx in (-1, 1)
+            for sy in (-1, 1)
+            for sz in (-1, 1)
+        ]
+    )
+    np.save(os.path.join(out_dir, "dataset_bbox_7k.npy"), {cls: obb},
+            allow_pickle=True)
+
+    rng = np.random.RandomState(0)
+    total = n_train + 2 * n_val
+    angles = np.linspace(0, 2 * np.pi, total, endpoint=False)
+    rng.shuffle(angles)
+
+    def make_frame(i, ang):
+        # sensor orbits the object at 5-7 m, always looking +x in SENSOR
+        # frame; pose rotates sensor frame into world
+        r = rng.uniform(5.0, 7.0)
+        eye = CENTER + np.array([-r * np.cos(ang), -r * np.sin(ang),
+                                 rng.uniform(-0.3, 0.8)])
+        fwd = CENTER - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(right, fwd)
+        R = np.stack([fwd, -right, up2], axis=1)  # sensor x->fwd, y->left, z->up
+        pose = np.eye(4)
+        pose[:3, :3] = R
+        pose[:3, 3] = eye
+
+        d_world = dirs_l @ R.T
+        o_world = np.broadcast_to(eye, d_world.shape)
+        depth, inten = _sdf_hits(o_world, d_world)
+
+        pano = depth.reshape(H, W)
+        intens = inten.reshape(H, W)
+        hm = pano > 0
+        # -1 outside a rectangle around the object hits (bbox mask channel)
+        pano2d = np.full((H, W), -1.0)
+        if hm.any():
+            ys, xs = np.nonzero(hm)
+            r0, r1 = max(ys.min() - 4, 0), min(ys.max() + 5, H)
+            c0, c1 = max(xs.min() - 4, 0), min(xs.max() + 5, W)
+            rect = np.zeros((H, W), bool)
+            rect[r0:r1, c0:c1] = True
+            pano2d[rect] = np.where(hm[rect], pano[rect], 0.0)
+        data = np.stack([np.zeros((H, W)), intens, pano2d], axis=-1).astype(
+            np.float32
+        )
+        fn = f"{cls}/{i:010d}.npz"
+        np.savez_compressed(os.path.join(out_dir, fn), data=data)
+        return {"lidar_file_path": fn, "lidar2world": pose.tolist()}
+
+    idx = 0
+    for split, n in [("train", n_train), ("val", n_val), ("test", n_val)]:
+        frames = []
+        for k in range(n):
+            frames.append(make_frame(idx, angles[idx]))
+            idx += 1
+            print(f"{split} frame {idx}/{total}", flush=True)
+        meta = {"w_lidar": W, "h_lidar": H, "aabb_scale": 2, "frames": frames}
+        with open(os.path.join(out_dir, f"transforms_{cls}_{split}.json"), "w") as f:
+            json.dump(meta, f)
+    print("done:", out_dir)
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "data_synth_mvl"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    main(out, n)
