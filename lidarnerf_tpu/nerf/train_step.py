@@ -371,6 +371,107 @@ def make_train_step(
     return step_fn
 
 
+def make_epoch_step(
+    module,
+    cfg: TrainConfig,
+    render_cfg: RenderConfig,
+    patch_size: Any = 1,
+    masked_sampling: bool = False,
+    sample_without_replacement: bool = False,
+):
+    """Build a jitted FUSED-EPOCH step: `lax.scan` over a whole epoch's
+    (frame, key) arrays — K optimisation steps (plus the occupancy-grid
+    refreshes that fall inside them, via `lax.cond` on the step counter) in
+    ONE device dispatch.
+
+    Why: the per-step dispatch path costs ~25 ms/step of host/tunnel latency
+    at the flagship config (measured round 5: 136 ms compiled step vs 167 ms
+    observed per-step wall in the trainer loop) — with 16-step epochs that is
+    ~18% of training wall-clock. The reference cannot fuse this way (its loop
+    interleaves host-side dataloader work per step, utils.py:1195-1230); the
+    static-shape design here makes the epoch a pure function of
+    (params, opt, occ_grid, frame_order, keys).
+
+    Returned signature:
+        epoch_fn(params, opt_state, occ_grid, poses, images, valid_idx,
+                 valid_counts, frame_order [K], step_keys [K], occ_keys [K],
+                 step0)
+            -> (params, opt_state, occ_grid, metrics dict of [K]-stacked)
+
+    `occ_grid` must be a concrete array; pass a dummy (and it is returned
+    unchanged) when render_cfg.occ is None. PRNG: the trainer derives the
+    per-epoch key arrays from its checkpointed stream, so kill/resume at an
+    epoch boundary replays bitwise, same as the per-step path (its stream
+    differs from the per-step path's — the two modes are internally, not
+    mutually, reproducible).
+    """
+    optimizer = make_optimizer(cfg)
+    loss_fn = make_loss_fn(
+        module, cfg, render_cfg, patch_size, masked_sampling,
+        sample_without_replacement,
+    )
+    occ_cfg = render_cfg.occ
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def epoch_fn(
+        params,
+        opt_state,
+        occ_grid,
+        poses,
+        images,
+        valid_idx,
+        valid_counts,
+        frame_order,
+        step_keys,
+        occ_keys,
+        step0,
+    ):
+        def body(carry, xs):
+            params, opt_state, occ_grid = carry
+            fi, key, okey, step = xs
+            if occ_cfg is not None:
+                from lidarnerf_tpu.models.occupancy import update_occ_grid
+
+                occ_grid = jax.lax.cond(
+                    step % occ_cfg.update_interval == 0,
+                    lambda g: update_occ_grid(
+                        module, params, g, okey, occ_cfg, render_cfg.bound
+                    ),
+                    lambda g: g,
+                    occ_grid,
+                )
+                grid_in = occ_grid
+            else:
+                grid_in = None
+            pose = jnp.take(poses, fi, axis=0)
+            image_flat = jnp.take(images, fi, axis=0).reshape(
+                -1, images.shape[-1]
+            )
+            vi = jnp.take(valid_idx, fi, axis=0)
+            vc = jnp.take(valid_counts, fi, axis=0)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, pose, image_flat, vi, vc, key, grid_in
+            )
+            params, opt_state, finite = guarded_update(
+                optimizer, params, opt_state, grads, loss
+            )
+            metrics = {
+                "loss": loss,
+                **aux,
+                "skipped_nonfinite": 1.0 - finite.astype(jnp.float32),
+            }
+            return (params, opt_state, occ_grid), metrics
+
+        K = frame_order.shape[0]
+        steps = step0 + jnp.arange(K, dtype=jnp.int32)
+        (params, opt_state, occ_grid), ms = jax.lax.scan(
+            body, (params, opt_state, occ_grid), (frame_order, step_keys, occ_keys, steps)
+        )
+        return params, opt_state, occ_grid, ms
+
+    return epoch_fn
+
+
 def ema_update(ema_params, params, decay, num_updates):
     """torch_ema semantics: effective decay = min(decay, (1+n)/(10+n))."""
     d = jnp.minimum(decay, (1.0 + num_updates) / (10.0 + num_updates))

@@ -278,6 +278,20 @@ class Trainer:
                 )
         return self._step_fns[key]
 
+    def _get_epoch_fn(self, patch_size, masked_sampling):
+        from lidarnerf_tpu.nerf.train_step import make_epoch_step
+
+        key = ("epoch", _patch_tuple(patch_size), masked_sampling)
+        if key not in self._step_fns:
+            self._step_fns[key] = make_epoch_step(
+                self.module,
+                self.train_cfg,
+                self.render_cfg,
+                patch_size=patch_size,
+                masked_sampling=masked_sampling,
+            )
+        return self._step_fns[key]
+
     def _device_data(self, dataset):
         arrs = dataset.device_arrays()
         if len(arrs) == 2:  # dense dataset: dummy valid tables
@@ -400,7 +414,6 @@ class Trainer:
         )
         self.log(f"==> Start Training Epoch {self.epoch}, lr={lr_now:.6f} ...")
         poses, images, vi, vc, masked = self._device_data(dataset)
-        step_fn = self._get_step_fn(patch_size, masked)
 
         order = self._np_rng.permutation(len(dataset))
         self.local_step = 0
@@ -408,7 +421,50 @@ class Trainer:
         pending = []
         t0 = time.perf_counter()
         occ_cfg = self.render_cfg.occ
-        for frame_idx in order:
+        n_sync_opt = getattr(self.opt, "seam_sync_hashed", 0)
+        # fused-epoch path: one lax.scan dispatch per epoch (train_step.
+        # make_epoch_step) — saves the measured ~25 ms/step host/tunnel
+        # dispatch latency. Per-step fallback remains for the sharded
+        # multi-device path and when the host-side hashed seam sync is on.
+        fuse = (
+            bool(getattr(self.opt, "fuse_epoch", 1))
+            and self._mesh().devices.size == 1
+            and n_sync_opt == 0
+        )
+        if fuse:
+            epoch_fn = self._get_epoch_fn(patch_size, masked)
+            K = len(order)
+            self.rng, k_epoch = jax.random.split(self.rng)
+            step_keys = jax.random.split(jax.random.fold_in(k_epoch, 0), K)
+            occ_keys = jax.random.split(jax.random.fold_in(k_epoch, 1), K)
+            occ_in = (
+                self.occ_grid
+                if self.occ_grid is not None
+                else jnp.zeros((1, 1, 1), jnp.float32)
+            )
+            self.params, self.opt_state, occ_out, ms = epoch_fn(
+                self.params,
+                self.opt_state,
+                occ_in,
+                poses,
+                images,
+                vi,
+                vc,
+                jnp.asarray(order, jnp.int32),
+                step_keys,
+                occ_keys,
+                self.global_step,
+            )
+            if self.occ_grid is not None:
+                self.occ_grid = occ_out
+            self.global_step += K
+            self.local_step = K
+            ms = {k: np.asarray(v) for k, v in ms.items()}  # one D2H fetch
+            pending = [
+                {k: v[i] for k, v in ms.items()} for i in range(K)
+            ]
+        step_fn = None if fuse else self._get_step_fn(patch_size, masked)
+        for frame_idx in [] if fuse else order:
             if occ_cfg is not None and self.global_step % occ_cfg.update_interval == 0:
                 from lidarnerf_tpu.models.occupancy import update_occ_grid
 
@@ -533,6 +589,7 @@ class Trainer:
 
     def evaluate_one_epoch(self, dataset, name=None):
         self.log(f"++> Evaluate at epoch {self.epoch} ...")
+        t_eval0 = time.perf_counter()
         if name is None:
             name = f"{self.name}_ep{self.epoch:04d}"
 
@@ -631,7 +688,10 @@ class Trainer:
                 metric.write(self.writer, self.epoch, prefix="LiDAR_evaluate")
             metric.clear()
 
-        self.log(f"++> Evaluate epoch {self.epoch} Finished.")
+        self.log(
+            f"++> Evaluate epoch {self.epoch} Finished "
+            f"({time.perf_counter() - t_eval0:.1f}s, {self.local_step} frames)."
+        )
 
     # ------------------------------------------------------------------- test
 

@@ -150,6 +150,14 @@ def get_arg_parser():
     parser.add_argument("--num_steps", type=int, default=768)
     parser.add_argument("--upsample_steps", type=int, default=64)
     parser.add_argument("--max_ray_batch", type=int, default=4096)
+    parser.add_argument(
+        "--fuse_epoch",
+        type=int,
+        default=1,
+        help="1 = run each training epoch as ONE jitted lax.scan dispatch "
+        "(saves ~25 ms/step host dispatch latency; single-device path only), "
+        "0 = per-step dispatch",
+    )
     parser.add_argument("--patch_size", type=int, default=1)
 
     # occupancy-prior sampling (TPU-native density_grid; models/occupancy.py)

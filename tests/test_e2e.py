@@ -91,15 +91,10 @@ def test_tiny_cli_flow(tmp_path, monkeypatch):
         "--mesh_resolution", "32",
         "--scale", "0.05",
         "--offset", "0", "0", "0",
-        # exercise both seam options' trainer wiring (measured-negative
-        # quality-wise, but the plumbing must stay alive): the in-forward
-        # dense tie and the 16-step hashed sync (fires at global step 0)
-        "--seam_tie", "1",
-        "--seam_sync_hashed", "8",
     ]
     monkeypatch.setattr(sys, "argv", argv)
     monkeypatch.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    cli.main()
+    cli.main()  # default path: fused-epoch lax.scan dispatch (--fuse_epoch 1)
 
     assert os.path.exists(os.path.join(workspace, "args.txt"))
     ckpts = os.listdir(os.path.join(workspace, "checkpoints"))
@@ -109,6 +104,42 @@ def test_tiny_cli_flow(tmp_path, monkeypatch):
     names = os.listdir(os.path.join(workspace, "results"))
     assert any(n.endswith("_depth_lidar.npy") for n in names)
     assert any(n.endswith(".ply") for n in os.listdir(os.path.join(workspace, "meshes")))
+
+
+def test_tiny_cli_perstep_with_seam_options(tmp_path, monkeypatch):
+    """Per-step trainer path + both seam options' wiring (the options are
+    measured-negative quality-wise but the plumbing must stay alive; the
+    hashed sync forces --fuse_epoch off, covering the per-step fallback)."""
+    data_root = str(tmp_path / "data")
+    workspace = str(tmp_path / "ws")
+    write_synthetic_kitti(data_root, n_train=2, n_val=1, n_test=1)
+
+    import main_lidarnerf as cli
+
+    argv = [
+        "main_lidarnerf.py",
+        "--config", "configs/kitti360_1908.txt",
+        "--path", data_root,
+        "--workspace", workspace,
+        "--iters", "2",
+        "--num_steps", "16",
+        "--upsample_steps", "4",
+        "--num_rays_lidar", "128",
+        "--desired_resolution", "64",
+        "--log2_hashmap_size", "10",
+        "--eval_interval", "1000",
+        "--max_ray_batch", "512",
+        "--mesh_resolution", "16",
+        "--scale", "0.05",
+        "--offset", "0", "0", "0",
+        "--seam_tie", "1",
+        "--seam_sync_hashed", "8",  # host-side projection -> per-step path
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cli.main()
+    log = open(os.path.join(workspace, "log_lidar_nerf.txt")).read()
+    assert "Finished Epoch 1" in log
 
 
 @pytest.mark.slow

@@ -154,6 +154,66 @@ class TestTrainStep:
         assert np.isfinite(float(m["loss"]))
 
 
+class TestEpochStep:
+    """Fused-epoch lax.scan step (round 5, train_step.make_epoch_step)."""
+
+    def _run(self, occ):
+        from dataclasses import replace
+
+        from lidarnerf_tpu.models.occupancy import OccConfig, init_occ_grid
+        from lidarnerf_tpu.nerf.train_step import make_epoch_step
+
+        poses, images = make_sphere_scene(3)
+        module = small_model()
+        tcfg, rcfg = small_cfgs()
+        occ_cfg = None
+        if occ:
+            occ_cfg = OccConfig(grid_size=16, bins=16, update_interval=2)
+            rcfg = replace(rcfg, occ=occ_cfg)
+        params, opt_state = init_state(module, tcfg)
+        epoch_fn = make_epoch_step(module, tcfg, rcfg)
+        vi = jnp.zeros((3, 1), jnp.int32)
+        vc = jnp.full((3,), H * W, jnp.int32)
+        grid = (
+            init_occ_grid(occ_cfg) if occ else jnp.zeros((1, 1, 1), jnp.float32)
+        )
+        K = 3
+        keys = jax.random.split(jax.random.PRNGKey(0), K)
+        okeys = jax.random.split(jax.random.PRNGKey(1), K)
+        order = jnp.asarray([2, 0, 1], jnp.int32)
+        p0 = jax.tree.map(lambda x: x.copy(), params)
+        # donate_argnums invalidates the passed buffers — keep `grid` intact
+        # for comparison by donating a copy
+        params, opt_state, grid_out, ms = epoch_fn(
+            params, opt_state, jnp.copy(grid), jnp.array(poses),
+            jnp.array(images), vi, vc, order, keys, okeys, 0,
+        )
+        return p0, params, grid, grid_out, ms
+
+    def test_scan_epoch_runs_and_updates(self):
+        p0, params, _, _, ms = self._run(occ=False)
+        assert ms["loss"].shape == (3,)
+        assert np.isfinite(np.asarray(ms["loss"])).all()
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, params)
+        assert max(jax.tree.leaves(diffs)) > 0
+
+    def test_occ_grid_refreshes_inside_scan(self):
+        # update_interval=2 with step0=0: refresh fires at steps 0 and 2
+        _, _, grid_in, grid_out, ms = self._run(occ=True)
+        assert grid_out.shape == grid_in.shape
+        assert float(jnp.abs(grid_out - grid_in).max()) > 0
+        assert np.isfinite(np.asarray(ms["loss"])).all()
+
+    def test_deterministic(self):
+        _, p1, _, _, ms1 = self._run(occ=False)
+        _, p2, _, _, ms2 = self._run(occ=False)
+        np.testing.assert_array_equal(
+            np.asarray(ms1["loss"]), np.asarray(ms2["loss"])
+        )
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestConvergence:
     @pytest.mark.slow
     @pytest.mark.parametrize("encoding", ["hashgrid", "blockhash"])
