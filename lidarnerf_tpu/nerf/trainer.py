@@ -279,17 +279,32 @@ class Trainer:
         return self._step_fns[key]
 
     def _get_epoch_fn(self, patch_size, masked_sampling):
-        from lidarnerf_tpu.nerf.train_step import make_epoch_step
-
         key = ("epoch", _patch_tuple(patch_size), masked_sampling)
         if key not in self._step_fns:
-            self._step_fns[key] = make_epoch_step(
-                self.module,
-                self.train_cfg,
-                self.render_cfg,
-                patch_size=patch_size,
-                masked_sampling=masked_sampling,
-            )
+            mesh = self._mesh()
+            if mesh.devices.size > 1:
+                from lidarnerf_tpu.parallel.sharding import (
+                    make_sharded_epoch_step,
+                )
+
+                self._step_fns[key] = make_sharded_epoch_step(
+                    self.module,
+                    self.train_cfg,
+                    self.render_cfg,
+                    mesh,
+                    patch_size=patch_size,
+                    masked_sampling=masked_sampling,
+                )
+            else:
+                from lidarnerf_tpu.nerf.train_step import make_epoch_step
+
+                self._step_fns[key] = make_epoch_step(
+                    self.module,
+                    self.train_cfg,
+                    self.render_cfg,
+                    patch_size=patch_size,
+                    masked_sampling=masked_sampling,
+                )
         return self._step_fns[key]
 
     def _device_data(self, dataset):
@@ -423,14 +438,11 @@ class Trainer:
         occ_cfg = self.render_cfg.occ
         n_sync_opt = getattr(self.opt, "seam_sync_hashed", 0)
         # fused-epoch path: one lax.scan dispatch per epoch (train_step.
-        # make_epoch_step) — saves the measured ~25 ms/step host/tunnel
-        # dispatch latency. Per-step fallback remains for the sharded
-        # multi-device path and when the host-side hashed seam sync is on.
-        fuse = (
-            bool(getattr(self.opt, "fuse_epoch", 1))
-            and self._mesh().devices.size == 1
-            and n_sync_opt == 0
-        )
+        # make_epoch_step single-device, parallel.make_sharded_epoch_step on
+        # a mesh) — saves the measured ~25 ms/step host/tunnel dispatch
+        # latency. Per-step fallback remains when the host-side hashed seam
+        # sync is on (it mutates params between steps).
+        fuse = bool(getattr(self.opt, "fuse_epoch", 1)) and n_sync_opt == 0
         if fuse:
             epoch_fn = self._get_epoch_fn(patch_size, masked)
             K = len(order)

@@ -71,6 +71,50 @@ def test_sharded_step_runs_and_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6)
 
 
+def test_sharded_epoch_step_matches_single_device():
+    """Fused-epoch scan on the 8-device mesh == single-device fused epoch
+    (round 5: make_sharded_epoch_step), incl. the in-scan occ refresh."""
+    from dataclasses import replace
+
+    from lidarnerf_tpu.models.occupancy import OccConfig, init_occ_grid
+    from lidarnerf_tpu.nerf.train_step import make_epoch_step
+    from lidarnerf_tpu.parallel.sharding import make_sharded_epoch_step
+
+    module, tcfg, rcfg, params, opt_state, poses, images, vi, vc = _setup(64)
+    occ_cfg = OccConfig(grid_size=8, bins=8, update_interval=2)
+    rcfg = replace(rcfg, occ=occ_cfg)
+    mesh = make_mesh(8)
+    K = 2
+    order = jnp.asarray([1, 0], jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(3), K)
+    okeys = jax.random.split(jax.random.PRNGKey(4), K)
+    grid = init_occ_grid(occ_cfg)
+
+    e1 = make_epoch_step(module, tcfg, rcfg)
+    p1, _, g1, ms1 = e1(
+        jax.tree.map(jnp.copy, params), make_optimizer(tcfg).init(params),
+        jnp.copy(grid), poses, images, vi, vc, order, keys, okeys, 0,
+    )
+
+    eN = make_sharded_epoch_step(module, tcfg, rcfg, mesh)
+    pN, _, gN, msN = eN(
+        replicate(jax.tree.map(jnp.copy, params), mesh),
+        replicate(make_optimizer(tcfg).init(params), mesh),
+        replicate(jnp.copy(grid), mesh),
+        replicate(poses, mesh), replicate(images, mesh),
+        replicate(vi, mesh), replicate(vc, mesh),
+        order, keys, okeys, 0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ms1["loss"]), np.asarray(msN["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(gN), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-6)
+    assert float(jnp.abs(gN).max()) > 0  # the in-scan refresh fired
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
