@@ -33,44 +33,56 @@ CENTER = np.array([6.0, 0.0, 0.0])
 
 def _sdf_hits(o, d, n_steps=256, t_max=16.0):
     """Sphere-trace an analytic car (box body + cabin box) — returns depth
-    (0 = miss) and incidence-weighted intensity."""
-    body_c = CENTER + np.array([0.0, 0.0, -0.25])
-    body_h = np.array([2.2, 0.95, 0.65])
-    cab_c = CENTER + np.array([-0.3, 0.0, 0.55])
-    cab_h = np.array([1.1, 0.8, 0.45])
+    (0 = miss) and incidence-weighted intensity. jit-compiled (CPU): the
+    pure-numpy march cost ~4 min/frame at 460k rays; fused it is ~2 s."""
+    import jax
+    import jax.numpy as jnp
 
-    def sdf(p):
-        q1 = np.abs(p - body_c) - body_h
-        d1 = np.linalg.norm(np.maximum(q1, 0), axis=-1) + np.minimum(
-            q1.max(axis=-1), 0
-        )
-        q2 = np.abs(p - cab_c) - cab_h
-        d2 = np.linalg.norm(np.maximum(q2, 0), axis=-1) + np.minimum(
-            q2.max(axis=-1), 0
-        )
-        return np.minimum(d1, d2)
+    @jax.jit
+    def trace(o, d):
+        body_c = jnp.asarray(CENTER + np.array([0.0, 0.0, -0.25]), jnp.float32)
+        body_h = jnp.asarray([2.2, 0.95, 0.65], jnp.float32)
+        cab_c = jnp.asarray(CENTER + np.array([-0.3, 0.0, 0.55]), jnp.float32)
+        cab_h = jnp.asarray([1.1, 0.8, 0.45], jnp.float32)
 
-    t = np.full(o.shape[0], 0.5)
-    for _ in range(n_steps):
+        def sdf(p):
+            q1 = jnp.abs(p - body_c) - body_h
+            d1 = jnp.linalg.norm(jnp.maximum(q1, 0), axis=-1) + jnp.minimum(
+                q1.max(axis=-1), 0
+            )
+            q2 = jnp.abs(p - cab_c) - cab_h
+            d2 = jnp.linalg.norm(jnp.maximum(q2, 0), axis=-1) + jnp.minimum(
+                q2.max(axis=-1), 0
+            )
+            return jnp.minimum(d1, d2)
+
+        def step(t, _):
+            dist = sdf(o + d * t[:, None])
+            return jnp.where(t < t_max, t + jnp.clip(dist, 1e-4, 1.0), t), None
+
+        t, _ = jax.lax.scan(step, jnp.full(o.shape[:1], 0.5, jnp.float32),
+                            None, length=n_steps)
         p = o + d * t[:, None]
-        dist = sdf(p)
-        t = np.where(t < t_max, t + np.clip(dist, 1e-4, 1.0), t)
-    hit = (t < t_max) & (sdf(o + d * t[:, None]) < 1e-2)
-    # numeric normal for incidence shading
-    p = o + d * t[:, None]
-    eps = 1e-3
-    n = np.stack(
-        [
-            sdf(p + np.array([eps, 0, 0])) - sdf(p - np.array([eps, 0, 0])),
-            sdf(p + np.array([0, eps, 0])) - sdf(p - np.array([0, eps, 0])),
-            sdf(p + np.array([0, 0, eps])) - sdf(p - np.array([0, 0, eps])),
-        ],
-        axis=-1,
+        hit = (t < t_max) & (sdf(p) < 1e-2)
+        eps = 1e-3
+        n = jnp.stack(
+            [
+                sdf(p + jnp.asarray([eps, 0, 0])) - sdf(p - jnp.asarray([eps, 0, 0])),
+                sdf(p + jnp.asarray([0, eps, 0])) - sdf(p - jnp.asarray([0, eps, 0])),
+                sdf(p + jnp.asarray([0, 0, eps])) - sdf(p - jnp.asarray([0, 0, eps])),
+            ],
+            axis=-1,
+        )
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+        cosi = jnp.abs(jnp.sum(n * d, axis=-1))
+        inten = jnp.where(hit, jnp.clip(0.25 + 0.6 * cosi, 0, 1), 0.0)
+        return jnp.where(hit, t, 0.0), inten
+
+    depth, inten = trace(
+        jnp.asarray(np.ascontiguousarray(o), jnp.float32),
+        jnp.asarray(d, jnp.float32),
     )
-    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
-    cosi = np.abs(np.sum(n * d, axis=-1))
-    inten = np.where(hit, np.clip(0.25 + 0.6 * cosi, 0, 1), 0.0)
-    return np.where(hit, t, 0.0), inten
+    return np.asarray(depth), np.asarray(inten)
 
 
 def main(out_dir="data_synth_mvl", n_train=12, n_val=2, cls="car"):
